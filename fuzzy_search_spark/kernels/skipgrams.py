@@ -1,0 +1,153 @@
+"""Character skip-gram generation and the vectorized text-scan kernel.
+
+Semantics contract (reference: tokenization/string.py:193-255):
+
+A sliding window of ``ngram_size + skip_size`` chars moves one char at a time
+over start offsets ``0 .. len(text)-2``.  For each window, every combination
+of ``ngram_size-1`` indexes drawn (in order) from ``1 .. ngram_size+skip_size-1``
+is combined with the window's first char; combinations that fall outside the
+window are skipped.  Each emitted gram records its text ``start`` offset and
+its covered ``length`` (= last combination index + 1).  Special cases: when
+``len(text) <= ngram_size`` a single gram (the whole text) is emitted; when
+``ngram_size == 1`` each char is its own gram.
+
+Scale design: the per-document hot loop is NOT "generate every gram in
+Python".  Grams are encoded as int64 keys (21 bits per codepoint, enough for
+all of Unicode) and generated as NumPy shifted-slice arrays; membership
+against the broadcast phrase-model vocabulary is a vectorized
+``searchsorted``; only the (rare) hits drop back into Python.  On web-scale
+corpora where most documents match nothing, per-document cost is O(L) NumPy
+work, not O(L * combos) Python work.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Iterator, List, Tuple, Union
+
+import numpy as np
+
+# A gram occurrence: (key, start_offset, length).  `key` is an int64 fold of
+# the gram's codepoints for ngram_size <= 3, else the gram string itself.
+GramKey = Union[int, str]
+
+_CP_BITS = 21  # max Unicode codepoint 0x10FFFF < 2**21
+
+
+def encode_gram(gram: str) -> int:
+    """Fold a short gram's codepoints into one int64 key (<= 3 chars)."""
+    key = 0
+    for ch in gram:
+        key = (key << _CP_BITS) | ord(ch)
+    return key
+
+
+def skipgram_combinations(ngram_size: int, skip_size: int) -> List[Tuple[int, ...]]:
+    """Index combinations (excluding the leading 0) for one window."""
+    return list(combinations(range(1, ngram_size + skip_size), ngram_size - 1))
+
+
+def iter_skipgrams(text: str, ngram_size: int = 2,
+                   skip_size: int = 2) -> Iterator[Tuple[str, int, int]]:
+    """Yield (gram_string, start_offset, length) in reference generation
+    order: start offset ascending, combination order within each window."""
+    n = len(text)
+    if ngram_size == 1:
+        for i in range(n):
+            yield text[i], 0, 1
+        return
+    if n <= ngram_size:
+        yield text, 0, n
+        return
+    combos = skipgram_combinations(ngram_size, skip_size)
+    win = ngram_size + skip_size
+    for start in range(n - 1):
+        window = text[start:start + win]
+        wlen = len(window)
+        first = window[0]
+        for combo in combos:
+            if combo[-1] >= wlen:
+                continue
+            gram = first + "".join(window[i] for i in combo)
+            yield gram, start, combo[-1] + 1
+    return
+
+
+def keyed_skipgrams(text: str, ngram_size: int = 2,
+                    skip_size: int = 2) -> List[Tuple[GramKey, int, int]]:
+    """All skipgrams as (key, start, length); int keys when ngram_size<=3."""
+    use_int = ngram_size <= 3
+    out = []
+    for gram, start, length in iter_skipgrams(text, ngram_size, skip_size):
+        out.append((encode_gram(gram) if use_int and len(gram) <= 3 else gram,
+                    start, length))
+    return out
+
+
+class GramScanner:
+    """Vectorized scanner: finds occurrences of a fixed gram vocabulary in
+    texts.  Built once per (compiled model, config) on the driver; cheap to
+    pickle into the broadcast closure."""
+
+    def __init__(self, vocab_keys, ngram_size: int, skip_size: int):
+        self.ngram_size = ngram_size
+        self.skip_size = skip_size
+        self._combos = skipgram_combinations(ngram_size, skip_size)
+        self._vectorized = ngram_size in (2, 3)
+        int_keys = sorted(k for k in vocab_keys if isinstance(k, int))
+        self._sorted_keys = np.array(int_keys, dtype=np.int64)
+        self._str_keys = frozenset(k for k in vocab_keys if isinstance(k, str))
+        self._all_keys = frozenset(vocab_keys)
+
+    def scan(self, text: str) -> List[Tuple[GramKey, int, int]]:
+        """Occurrences of vocabulary grams in ``text`` as (key, start,
+        length), in reference generation order."""
+        n = len(text)
+        if not self._vectorized or n <= self.ngram_size or n < 64:
+            # short texts / exotic ngram sizes: direct generation is cheaper
+            # than NumPy setup
+            return [(k, s, ln) for k, s, ln in
+                    keyed_skipgrams(text, self.ngram_size, self.skip_size)
+                    if k in self._all_keys]
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        starts_parts, order_parts, keys_parts, len_parts = [], [], [], []
+        for ci, combo in enumerate(self._combos):
+            last = combo[-1]
+            # valid window starts for this combo: 0 .. n-1-last  (the
+            # reference's range(0, n-1) bound is implied because last >= 1)
+            limit = n - last
+            keys = cp[:limit] << (_CP_BITS * len(combo))
+            for depth, idx in enumerate(combo):
+                shift = _CP_BITS * (len(combo) - 1 - depth)
+                keys = keys | (cp[idx:idx + limit] << shift)
+            pos = np.searchsorted(self._sorted_keys, keys)
+            pos[pos == len(self._sorted_keys)] = 0
+            hit = np.zeros(limit, dtype=bool) if len(self._sorted_keys) == 0 \
+                else self._sorted_keys[pos] == keys
+            idxs = np.nonzero(hit)[0]
+            if idxs.size:
+                starts_parts.append(idxs)
+                order_parts.append(np.full(idxs.size, ci, dtype=np.int64))
+                keys_parts.append(keys[idxs])
+                len_parts.append(np.full(idxs.size, last + 1, dtype=np.int64))
+        if not starts_parts:
+            return []
+        starts = np.concatenate(starts_parts)
+        order = np.concatenate(order_parts)
+        keys = np.concatenate(keys_parts)
+        lens = np.concatenate(len_parts)
+        perm = np.lexsort((order, starts))
+        return list(zip(keys[perm].tolist(), starts[perm].tolist(),
+                        lens[perm].tolist()))
+
+    def __getstate__(self):
+        return {
+            "ngram_size": self.ngram_size,
+            "skip_size": self.skip_size,
+            "keys": self._sorted_keys.tolist(),
+            "str_keys": sorted(self._str_keys),
+        }
+
+    def __setstate__(self, state):
+        self.__init__(state["keys"] + state["str_keys"],
+                      state["ngram_size"], state["skip_size"])

@@ -1,0 +1,148 @@
+"""String similarity kernels.
+
+Semantics contract (verified against the reference test-suite goldens, see
+tests/):
+
+- ``char_ngrams(t, n)``: '#'-padded character n-grams; empty when n > len(t)
+  (reference: tokenization/string.py:19-38).
+- ``ngram_overlap`` / ``char_overlap``: *multiset* intersection counts
+  (reference implements these as greedy remove-first loops,
+  tokenization/string.py:46-65,102-117 — order-independent, equal to a
+  Counter intersection).
+- ``indel_similarity``: the `Levenshtein.ratio` of the C library the
+  reference delegates to (tokenization/string.py:120-135):
+  ``(len1+len2-d_indel)/(len1+len2)`` with d_indel = len1+len2-2*LCS.
+  Computed with integer arithmetic and a single final division so the float
+  is bit-identical to the C implementation.
+- ``levenshtein_distance``: plain unit-cost edit distance (used by the
+  analysis layer only; on the Spark side prefer F.levenshtein).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+from typing import List, Optional
+
+# Word-boundary affix sets (reference: tokenization/string.py:333-340).
+NON_WORD_AFFIXES_2 = frozenset({
+    ". ", ", ", "! ", "? ",
+    " (", ") ", ").", ")!", "),", ")?",
+    " [", "] ", "].", "]!", "],", "]?",
+})
+NON_WORD_AFFIXES_1 = frozenset({" ", ".", ",", "!", "?"})
+
+
+def char_ngrams(text: str, n: int) -> List[str]:
+    """'#'-padded character n-grams of ``text``; [] when n > len(text)."""
+    if n > len(text):
+        return []
+    padded = f"#{text}#"
+    return [padded[i:i + n] for i in range(len(padded) - n + 1)]
+
+
+def ngram_overlap(term1: str, term2: str, n: int) -> int:
+    """Multiset overlap of the two terms' padded n-gram bags."""
+    bag1 = Counter(char_ngrams(term1, n))
+    bag2 = Counter(char_ngrams(term2, n))
+    return sum((bag1 & bag2).values())
+
+
+def ngram_overlap_ratio(term1: str, term2: str, n: int) -> float:
+    """n-gram overlap as a fraction of term1's n-gram count."""
+    return ngram_overlap(term1, term2, n) / len(char_ngrams(term1, n))
+
+
+def char_overlap(term1: str, term2: str) -> int:
+    """Multiset overlap of the two terms' character bags."""
+    bag1 = Counter(term1)
+    bag2 = Counter(term2)
+    return sum((bag1 & bag2).values())
+
+
+def char_overlap_ratio(term1: str, term2: str) -> float:
+    """Character overlap as a fraction of term1's length."""
+    return char_overlap(term1, term2) / len(term1)
+
+
+def indel_similarity(s1: str, s2: str, score_cutoff: Optional[float] = None) -> float:
+    """Normalized indel similarity == Levenshtein.ratio (sub cost 2).
+
+    With ``score_cutoff``, values below the cutoff collapse to 0.0 — this
+    mirrors the C API the reference's token searcher relies on
+    (search/token_searcher.py:768-769), where the collapsed value takes part
+    in equality comparisons and must be reproduced.
+    """
+    total = len(s1) + len(s2)
+    if total == 0:
+        return 1.0
+    sim = (2 * _lcs_len(s1, s2)) / total
+    if score_cutoff is not None and sim < score_cutoff:
+        return 0.0
+    return sim
+
+
+def _lcs_len(s1: str, s2: str) -> int:
+    """Length of the longest common subsequence (row-rolling DP)."""
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    if not s1:
+        return 0
+    width = len(s1) + 1
+    prev = [0] * width
+    cur = [0] * width
+    for c2 in s2:
+        acc = 0
+        for i1 in range(1, width):
+            if s1[i1 - 1] == c2:
+                nxt = prev[i1 - 1] + 1
+            else:
+                nxt = prev[i1] if prev[i1] >= acc else acc
+            cur[i1] = nxt
+            acc = nxt
+        prev, cur = cur, prev
+    return prev[-1]
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Plain unit-cost edit distance (ins/del/sub each cost 1)."""
+    if s1 == s2:
+        return 0
+    if len(s1) > len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s1) + 1))
+    for i2, c2 in enumerate(s2):
+        cur = [i2 + 1]
+        for i1, c1 in enumerate(s1):
+            if c1 == c2:
+                cur.append(prev[i1])
+            else:
+                cur.append(1 + min(prev[i1], prev[i1 + 1], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+@lru_cache(maxsize=65536)
+def cached_indel_similarity(s1: str, s2: str) -> float:
+    """Memoized indel similarity for (phrase, candidate-string) pairs, which
+    repeat heavily across documents within an Arrow batch (the Spark analog
+    of the reference's per-vocabulary memoization cache)."""
+    return indel_similarity(s1, s2)
+
+
+def non_word_prefix(s: str) -> str:
+    """The leading non-word affix of ``s`` (2-char affixes win over 1-char)."""
+    if s[:2] in NON_WORD_AFFIXES_2:
+        return s[:2]
+    if s[:1] in NON_WORD_AFFIXES_1:
+        return s[:1]
+    return ""
+
+
+def non_word_suffix(s: str) -> str:
+    """The trailing non-word affix of ``s``."""
+    if s[-2:] in NON_WORD_AFFIXES_2:
+        return s[-2:]
+    if s[-1:] in NON_WORD_AFFIXES_1:
+        return s[-1:]
+    return ""

@@ -1,0 +1,503 @@
+"""Per-document fuzzy match pipeline.
+
+This is the sequential kernel executed inside Arrow-batched pandas UDFs —
+parallelism is *across* documents (Spark tasks), never within one, so the
+order-sensitive candidate assembly stays deterministic and byte-identical
+regardless of partitioning.
+
+Pipeline stages and their reference anchors (SURVEY.md §2.4):
+
+ 1. exact-match prepass              search/phrase_searcher.py:360-389,
+                                     match/exact_match.py:49-206
+ 2. known-word offset index          match/exact_match.py:13-46
+ 3. skipgram scan + index probe      search/searcher.py:265-334
+ 4. skip-set overlap prefilter       match/skip_match.py:264-270
+ 5. candidate assembly sweep         match/skip_match.py:153-237,
+                                     match/candidate_match.py:92-329
+ 6. word-boundary snapping           match/match_offsets.py:120-269
+ 7. per-phrase overlap dedup         match/skip_match.py:105-150
+ 8. scoring                          match/phrase_match.py:169-186
+ 9. threshold / distractor filters   search/phrase_searcher.py:213-253
+10. fuzzy+exact merge                search/phrase_searcher.py:49-75
+11. max-start-offset filter          search/searcher.py:336-366
+12. cross-phrase overlap resolution  match/match_offsets.py:16-54
+13. final per-document sort          search/phrase_searcher.py:358
+
+Documented divergences from the reference (each unreachable in its golden
+suite): (a) a phrase with ``max_end_offset`` raises AttributeError there
+(searcher.py:305 reads the nonexistent ``max_end_end``); we implement the
+intended pruning.  (b) uncovered boundary-table combinations raise there; we
+reject the candidate.  (c) set-iteration orders there are id-hash dependent;
+we use first-match insertion order (deterministic).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple, Union
+
+from fuzzy_search_spark.kernels import strings as S
+from fuzzy_search_spark.kernels.boundaries import snap_span
+from fuzzy_search_spark.model import CompiledModel, CompiledPhrase
+
+_WORD_RE = re.compile(r"\w+")
+_NON_WORD_SPLIT = re.compile(r"\W+")
+_WORD_CHAR = re.compile(r"\w")
+
+
+@dataclass
+class Match:
+    """One phrase match in one document (mirrors the reference's
+    PhraseMatch.json() payload, phrase_match.py:133-152)."""
+
+    phrase: str
+    variant: str
+    string: str
+    offset: int
+    end: int
+    label: Union[None, str, List[str]]
+    char_match: float
+    ngram_match: float
+    levenshtein_similarity: float
+    exact: bool = False
+
+
+@dataclass
+class _Candidate:
+    phrase: CompiledPhrase
+    start: int
+    end: int
+    string: str
+    skip_count_overlap: float
+
+
+class _Partial:
+    """Growing span hypothesis for one phrase (reference CandidatePartial)."""
+
+    __slots__ = ("cp", "glist", "gset", "gcount", "start", "end", "max_len", "mlv")
+
+    def __init__(self, cp: CompiledPhrase, mlv: int):
+        self.cp = cp
+        self.glist: List[Tuple] = []       # (key, start, length)
+        self.gset = set()
+        self.gcount: Dict = {}
+        self.start: Optional[int] = -1
+        self.end = -1
+        self.mlv = mlv
+        self.max_len = len(cp.name) + mlv
+
+    def span_len(self) -> int:
+        if self.start is None:
+            return 0
+        return self.end - self.start
+
+    def _compute_start(self) -> Optional[int]:
+        if not self.glist:
+            return None
+        key, gstart, _ = self.glist[0]
+        off = gstart - self.cp.gram_first_offset[key]
+        return 0 if off < 0 else off
+
+    def _pop_first(self) -> None:
+        key, _, _ = self.glist.pop(0)
+        self.gcount[key] -= 1
+        if self.gcount[key] == 0:
+            self.gset.discard(key)
+
+    def add(self, gram: Tuple) -> None:
+        key, gstart, glen = gram
+        if not self.glist and key not in self.cp.early:
+            return  # a candidate can only open on an early gram
+        self.gset.add(key)
+        self.glist.append(gram)
+        if self.start is None or self.start < 0:
+            self.start = self._compute_start()
+        if gstart + glen > self.end:
+            self.end = gstart + glen
+        self.gcount[key] = self.gcount.get(key, 0) + 1
+        # evict from the front while the span is too long for the phrase
+        while self.glist and self.span_len() > self.max_len:
+            self._pop_first()
+            self.start = self._compute_start()
+        # ... and while the front gram can no longer start a match
+        while self.glist and self.glist[0][0] not in self.cp.early:
+            self._pop_first()
+            self.start = self._compute_start()
+
+    def is_match(self, skipgram_threshold: float) -> bool:
+        if not self.glist:
+            return False
+        if self.glist[0][0] not in self.cp.early:
+            return False
+        span = self.span_len()
+        if span > len(self.cp.name) + self.mlv:
+            return False
+        if span < self.cp.late_threshold - self.mlv:
+            return False
+        if self.glist[-1][0] not in self.cp.late:
+            return False
+        return len(self.gset) / len(self.cp.gram_set) >= skipgram_threshold
+
+    def count_overlap(self) -> float:
+        """Skip-count score: (total matched - freq deviation) / phrase grams."""
+        diff = 0
+        total = 0
+        freq = self.cp.gram_freq
+        for key, count in self.gcount.items():
+            diff += abs(count - freq.get(key, 0))
+            total += count
+        return (total - diff) / self.cp.num_grams
+
+    def shift_start(self) -> bool:
+        """If the span is longer than the phrase, try to re-anchor the start
+        on a later gram whose phrase offset is no worse; returns whether the
+        start moved (a shifted second candidate is then emitted)."""
+        if self.span_len() <= len(self.cp.name):
+            return False
+        first = self.cp.gram_first_offset
+        start_gram = self.glist[0]
+        best_phrase_off = first[start_gram[0]]
+        best_idx = 0
+        best_start = start_gram[1]
+        slack = self.span_len() - len(self.cp.name)
+        for si, gram in enumerate(self.glist):
+            key, gstart, _ = gram
+            if gstart - start_gram[1] > slack:
+                break  # shifting further would leave the match too short
+            phrase_off = first[key]
+            if gstart > best_start and phrase_off <= best_phrase_off:
+                best_idx = si
+                best_start = gstart
+                best_phrase_off = phrase_off
+            if key not in self.cp.early:
+                break
+        for _ in range(best_idx):
+            self._pop_first()
+        self.start = self._compute_start()
+        return best_idx > 0
+
+
+def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
+                      skipgram_threshold: float, mlv: int,
+                      gap_limit: int) -> List[_Candidate]:
+    """Sequential sweep over one phrase's matched grams (text order),
+    growing/evicting a partial candidate and emitting validated spans."""
+    candidates: List[_Candidate] = []
+    partial = _Partial(cp, mlv)
+    last = len(grams) - 1
+
+    def emit(check_dup: bool) -> None:
+        if partial.start == partial.end:
+            return  # zero-width span: the reference would raise here
+        string = text[partial.start:partial.end]
+        if not check_dup or not candidates or not (
+            candidates[-1].start == partial.start
+            and candidates[-1].end == partial.end
+        ):
+            candidates.append(_Candidate(cp, partial.start, partial.end,
+                                         string, partial.count_overlap()))
+        if partial.shift_start():
+            if partial.start != partial.end:
+                candidates.append(
+                    _Candidate(cp, partial.start, partial.end,
+                               text[partial.start:partial.end],
+                               partial.count_overlap()))
+
+    for ci, gram in enumerate(grams):
+        partial.add(gram)
+        if partial.is_match(skipgram_threshold):
+            emit(check_dup=True)
+        next_start = grams[ci + 1][1] if ci < last else None
+        if next_start and next_start - gram[1] > gap_limit:
+            # the gap to the next matched gram exceeds a whole skipgram:
+            # it cannot belong to this candidate
+            partial = _Partial(cp, mlv)
+    if partial.is_match(skipgram_threshold):
+        emit(check_dup=True)
+    return candidates
+
+
+def _filter_overlapping_candidates(cands: List[_Candidate]) -> List[_Candidate]:
+    """Among same-phrase candidates that overlap, keep the best by indel
+    similarity, then by longer match string."""
+    if len(cands) < 2:
+        return cands
+    cands.sort(key=lambda c: c.start)
+    filtered: List[_Candidate] = []
+    prev = cands[0]
+    prev_score = S.cached_indel_similarity(prev.phrase.name, prev.string)
+    for cur in cands[1:]:
+        if cur.end > prev.start:
+            if cur.start < prev.end:
+                cur_score = S.cached_indel_similarity(cur.phrase.name, cur.string)
+                if cur_score > prev_score or (
+                    cur_score == prev_score and len(cur.string) > len(prev.string)
+                ):
+                    prev, prev_score = cur, cur_score
+            else:
+                filtered.append(prev)
+                prev = cur
+                prev_score = S.cached_indel_similarity(cur.phrase.name, cur.string)
+    if not filtered or prev is not filtered[-1]:
+        filtered.append(prev)
+    return filtered
+
+
+def _find_exact_matches(text: str, model: CompiledModel) -> List[Match]:
+    cfg = model.config
+    out: List[Match] = []
+
+    def emit(main: CompiledPhrase, variant: CompiledPhrase, string: str,
+             offset: int) -> None:
+        out.append(Match(
+            phrase=main.name, variant=variant.name, string=string,
+            offset=offset, end=offset + len(string), label=main.label,
+            char_match=1.0, ngram_match=1.0, levenshtein_similarity=1.0,
+            exact=True))
+
+    if cfg.use_word_boundaries:
+        n = len(text)
+        for m in _WORD_RE.finditer(text):
+            word = m.group(0)
+            if word not in model.word_in_phrase:
+                continue
+            for phrase_string, word_off in model.first_word_in_phrase.get(
+                    word, {}).items():
+                start = m.start() - word_off
+                end = start + len(phrase_string)
+                if text[start:end] != phrase_string:
+                    continue
+                if start > 0 and _WORD_CHAR.match(text[start - 1]):
+                    continue
+                # NB: the reference only boundary-checks the end when it is
+                # at least 2 chars before the text end (exact_match.py:136)
+                if end < n - 1 and _WORD_CHAR.match(text[end]):
+                    continue
+                ptypes = model.phrase_type.get(phrase_string, ())
+                if "phrase" in ptypes:
+                    cp = model.phrases[phrase_string]
+                    emit(cp, cp, phrase_string, start)
+                elif "variant" in ptypes and cfg.include_variants:
+                    vp = model.variants[phrase_string]
+                    emit(model.phrases[model.is_variant_of[phrase_string]],
+                         vp, phrase_string, start)
+    else:
+        for phrase_string, cp in model.phrases.items():
+            for m in re.finditer(re.escape(phrase_string), text):
+                emit(cp, cp, phrase_string, m.start())
+        if cfg.include_variants:
+            for variant_string, vp in model.variants.items():
+                main = model.phrases[model.is_variant_of[variant_string]]
+                for m in re.finditer(re.escape(variant_string), text):
+                    emit(main, vp, variant_string, m.start())
+    return out
+
+
+def _index_known_words(exact_matches: List[Match]) -> Dict[int, dict]:
+    """Word-offset index of exact matches, used to suppress redundant fuzzy
+    work over spans already matched exactly."""
+    index: Dict[int, dict] = {}
+    for em in exact_matches:
+        for word in _NON_WORD_SPLIT.split(em.string):
+            # reference quirk kept: offsets always resolve against the first
+            # occurrence of the word in the match string
+            start = em.offset + em.string.index(word)
+            if start not in index:
+                index[start] = {
+                    "word": word,
+                    "start": start,
+                    "end": start + len(word),
+                    "match_phrases": set(),
+                }
+            index[start]["match_phrases"].add(em.string)
+    return index
+
+
+def _known_word_changes(index: Dict[int, dict]) -> List[Tuple[int, Optional[dict]]]:
+    """State-change points of the known-word tracker: at a known start the
+    entry activates (starts win ties with ends); at the active entry's end it
+    deactivates.  Replicates the reference's per-offset scan state."""
+    changes: List[Tuple[int, Optional[dict]]] = []
+    starts = sorted(index)
+    cur: Optional[dict] = None
+    i = 0
+    while i < len(starts) or cur is not None:
+        if i < len(starts) and (cur is None or starts[i] <= cur["end"]):
+            pos = starts[i]
+            cur = index[pos]
+            i += 1
+            if pos == cur["end"]:
+                cur = None
+            changes.append((pos, cur))
+        else:
+            changes.append((cur["end"], None))
+            cur = None
+    return changes
+
+
+def find_matches(text: str, model: CompiledModel,
+                 text_id: Optional[str] = None) -> List[Match]:
+    """Find all fuzzy phrase matches in one document."""
+    cfg = model.config
+    mlv = cfg.max_length_variance
+
+    # 1-2: exact prepass + known-word suppression index
+    if cfg.skip_exact_matching:
+        exact_matches: List[Match] = []
+        known_index: Dict[int, dict] = {}
+    else:
+        exact_matches = _find_exact_matches(text, model)
+        known_index = _index_known_words(exact_matches)
+
+    # 3: vectorized skipgram scan + inverted-index probe
+    scan_text = text.lower() if cfg.ignorecase else text
+    hits = model.scanner.scan(scan_text)
+
+    acc: Dict[Tuple[str, str], List[Tuple]] = {}
+    acc_sets: Dict[Tuple[str, str], set] = {}
+    changes = _known_word_changes(known_index) if known_index else []
+    change_i = 0
+    known: Optional[dict] = None
+    for gram in hits:
+        key, gstart, glen = gram
+        while change_i < len(changes) and changes[change_i][0] <= gstart:
+            known = changes[change_i][1]
+            change_i += 1
+        for phrase_string in model.gram_to_phrases.get(key, ()):
+            cp = model.phrases[phrase_string]
+            if cp.max_start_offset > 0 and \
+                    cp.max_start_end + mlv < gstart + glen:
+                continue
+            if cp.max_end_offset > 0 and gstart + glen > cp.max_end_offset + mlv:
+                continue  # intended max_end pruning (crashes in the reference)
+            if known and phrase_string in known["match_phrases"]:
+                continue
+            k = ("p", phrase_string)
+            if k in acc:
+                acc[k].append(gram)
+                acc_sets[k].add(key)
+            else:
+                acc[k] = [gram]
+                acc_sets[k] = {key}
+        if cfg.include_variants:
+            for variant_string in model.gram_to_variants.get(key, ()):
+                if known:
+                    if variant_string not in model.word_in_phrase.get(
+                            known["word"], ()):
+                        continue
+                    if variant_string in known["match_phrases"]:
+                        continue
+                k = ("v", variant_string)
+                if k in acc:
+                    acc[k].append(gram)
+                    acc_sets[k].add(key)
+                else:
+                    acc[k] = [gram]
+                    acc_sets[k] = {key}
+
+    # 4-5: per-phrase prefilter + candidate assembly, grouped by main phrase
+    gap_limit = cfg.ngram_size + cfg.skip_size + 1
+    groups: Dict[str, List[_Candidate]] = {}
+    for (kind, name), grams in acc.items():
+        cp = model.phrases[name] if kind == "p" else model.variants[name]
+        if len(acc_sets[(kind, name)]) / len(cp.gram_set) < cfg.skipgram_threshold:
+            continue
+        main = model.is_variant_of.get(name, name)
+        groups.setdefault(main, []).extend(
+            _sweep_candidates(cp, grams, text, cfg.skipgram_threshold, mlv,
+                              gap_limit))
+
+    # 6-7: boundary snapping + per-phrase overlap dedup
+    candidates: List[_Candidate] = []
+    for main in groups:
+        group = groups[main]
+        if cfg.use_word_boundaries:
+            snapped = []
+            for cand in group:
+                adj = snap_span(cand.phrase.name, cand.string, text,
+                                cand.start, cand.end, cfg.punctuation)
+                if adj is None:
+                    continue
+                cand.string, cand.start, cand.end = adj
+                snapped.append(cand)
+            group = snapped
+        candidates.extend(_filter_overlapping_candidates(group))
+
+    # 8: scoring
+    matches: List[Match] = []
+    for cand in candidates:
+        main_name = model.is_variant_of.get(cand.phrase.name, cand.phrase.name)
+        main_cp = model.phrases.get(main_name, cand.phrase)
+        if cfg.ignorecase:
+            ms = cand.string.lower()
+            ps = cand.phrase.name.lower()
+        else:
+            ms = cand.string
+            ps = cand.phrase.name
+        matches.append(Match(
+            phrase=main_cp.name,
+            variant=cand.phrase.name,
+            string=cand.string,
+            offset=cand.start,
+            end=cand.start + len(cand.string),
+            label=main_cp.label,
+            char_match=S.char_overlap_ratio(ps, ms),
+            ngram_match=S.ngram_overlap_ratio(ps, ms, cfg.ngram_size),
+            levenshtein_similarity=S.cached_indel_similarity(ps, ms),
+        ))
+
+    # 9: threshold + distractor filters
+    matches = [
+        m for m in matches
+        if m.char_match >= cfg.char_match_threshold
+        and m.ngram_match >= cfg.ngram_threshold
+        and m.levenshtein_similarity >= cfg.levenshtein_threshold
+    ]
+    if cfg.filter_distractors:
+        kept = []
+        for m in matches:
+            distractors = model.has_distractors.get(m.phrase, ())
+            if not any(
+                S.cached_indel_similarity(m.string, d) > m.levenshtein_similarity
+                for d in distractors
+            ):
+                kept.append(m)
+        matches = kept
+
+    # 10: merge, exact wins at the same (offset, phrase)
+    exact_at = {(em.offset, em.phrase) for em in exact_matches}
+    combined = list(exact_matches)
+    combined.extend(m for m in matches if (m.offset, m.phrase) not in exact_at)
+    combined.sort(key=lambda m: m.offset)
+
+    # 11: max-start-offset filter
+    combined = [
+        m for m in combined
+        if model.phrases[m.phrase].max_start_offset in (-1, None)
+        or model.phrases[m.phrase].max_start_offset >= m.offset
+    ]
+
+    # 12: cross-phrase overlap resolution at identical (offset, length)
+    if not cfg.allow_overlapping_matches:
+        combined.sort(key=lambda m: (m.offset, len(m.string)))
+        grouped: Dict[Tuple[int, int], List[Match]] = {}
+        for m in combined:
+            grouped.setdefault((m.offset, len(m.string)), []).append(m)
+        resolved: List[Match] = []
+        for key in grouped:
+            bucket = grouped[key]
+            if len(bucket) == 1:
+                resolved.extend(bucket)
+            else:
+                bucket.sort(key=lambda m: m.levenshtein_similarity, reverse=True)
+                best = bucket[0].levenshtein_similarity
+                for m in bucket:
+                    if m.levenshtein_similarity < best:
+                        break
+                    resolved.append(m)
+        combined = resolved
+
+    # 13: deterministic per-document order
+    combined.sort(key=lambda m: (m.offset, m.end))
+    return combined
