@@ -1,38 +1,507 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship fuzzy-match query over sf0.001.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data pipeline ops).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query;
+  fuzzy-pipeline and xxhash-based ops are rows-only checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# corpus-derived phrase models (documents.parquet is deterministic word-salad
+# over an OLAP vocabulary; these phrases genuinely occur and OCR-style typos
+# of them are exercised through the fuzzy pipeline)
+# ---------------------------------------------------------------------------
+
+FUZZY_MODEL = [
+    {"phrase": "window table", "label": "win"},
+    {"phrase": "customer query", "label": "cust"},
+    {"phrase": "stream filter"},
+    {"phrase": "merge batch"},
+    {"phrase": "vector"},
+]
+FUZZY_CONFIG = {
+    "char_match_threshold": 0.6,
+    "ngram_threshold": 0.5,
+    "levenshtein_threshold": 0.6,
+    "max_length_variance": 3,
+}
+
+EXACT_PHRASES = ["window table", "customer query", "stream filter",
+                 "merge batch", "vector", "spark"]
+EXACT_CONFIG = {
+    "use_word_boundaries": False,
+    "char_match_threshold": 1.0,
+    "ngram_threshold": 1.0,
+    "levenshtein_threshold": 1.0,
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _fuzzy_model():
+    from fuzzy_search_spark.model import compile_model
+
+    return compile_model(FUZZY_MODEL, FUZZY_CONFIG)
+
+
+def _exact_model():
+    from fuzzy_search_spark.model import compile_model
+
+    return compile_model(EXACT_PHRASES, EXACT_CONFIG)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full fuzzy phrase extraction over the documents table."""
+    from fuzzy_search_spark.spark.job import match_documents
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = match_documents(docs, _fuzzy_model())
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "phrase", "variant", "string", "offset", "end",
+        "char_match", "ngram_match", "levenshtein_similarity",
+    ).orderBy("doc_id", "offset", "end", "phrase")
+
+
+def q_exact_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring phrase occurrence counts (engine exact-match path,
+    cross-checked against a pure-SQL substring counter)."""
+    from fuzzy_search_spark.spark.job import match_documents
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = match_documents(docs, _exact_model())
+    return (
+        out.groupBy(F.col("url").cast("bigint").alias("doc_id"), "phrase")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("doc_id", "phrase")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig_joined")
+    ).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.analysis.freq import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.analysis.freq import log_likelihood_ratio
+
+    docs = _docs(spark, sf_dir)
+    out = log_likelihood_ratio(docs.filter(F.col("lang") == "en"),
+                               docs.filter(F.col("lang") != "en"))
+    return out.orderBy(F.desc("llr"), "gram").limit(20)
+
+
+def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.ann import cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in query],
+                       k=10)
+
+
+def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.pipeline.ann import pairwise_topk
+
+    return pairwise_topk(_embeddings(spark, sf_dir), k=5).orderBy(
+        "centroid_label", "rank")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap, counted per user."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of event values (window aggregation)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "event_id",
+                  F.round(F.sum("value").over(w), 6).alias("running_value"))
+        .orderBy("user_id", "event_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001."""
+    return q_fuzzy_match(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fuzzy_match": q_fuzzy_match,
+        "exact_match_counts": q_exact_match_counts,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_top50": q_ngram_top50,
+        "llr_keywords": q_llr_keywords,
+        "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_centroid_top5": q_ann_centroid_top5,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_running_value": q_events_running_value,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_EXACT_PHRASE_VALUES = ", ".join(f"('{p}')" for p in EXACT_PHRASES)
+
+_STOPWORD_SQL = {
+    "en": ["the", "of", "and", "to", "in", "is", "was", "that"],
+    "nl": ["de", "het", "een", "van", "den", "der", "met", "voor"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "ist", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "et"],
+    "es": ["el", "la", "los", "las", "que", "es", "una", "por"],
+}
+
+
+def _votes_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPWORD_SQL[lang])
+    return (f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"w -> list_contains([{lst}], w)))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    votes = {lang: _votes_sql(lang) for lang in _STOPWORD_SQL}
+    best = "greatest(" + ", ".join(f"votes_{l}" for l in _STOPWORD_SQL) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN votes_{l} = {best} THEN '{l}'" for l in sorted(_STOPWORD_SQL)
+    ) + " END"
+
+    shingle_cte = """
+        words AS (
+          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+          FROM documents
+        ), shingles AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+2], ' ')
+                           for i in range(1, greatest(len(w) - 2, 1) + 1)])
+                     AS shingle
+            FROM words)
+          WHERE length(shingle) > 0
+        )"""
+
+    minhash_sig = """
+        WITH {cte}
+        SELECT doc_id, {mins} AS sig_joined
+        FROM shingles GROUP BY doc_id
+    """.format(cte=shingle_cte, mins=" || '|' || ".join(
+        f"min(md5('{i}:' || shingle))" for i in range(8)))
+
+    lsh_pairs = """
+        WITH {cte}, sig AS (""".format(cte=shingle_cte) + """
+          SELECT doc_id, {cols}
+          FROM shingles GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, band, band_hash FROM (
+            {bands}
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_bands
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY id_a, id_b
+    """.format(
+        cols=", ".join(f"min(md5('{i}:' || shingle)) AS h{i}"
+                       for i in range(8)),
+        bands=" UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5(h{r0} || '|' || h{r1}) AS band_hash "
+            "FROM sig".format(b=b, r0=b * 2, r1=b * 2 + 1)
+            for b in range(4)),
+    )
+
+    return {
+        "exact_match_counts": f"""
+            WITH phrases(phrase) AS (VALUES {_EXACT_PHRASE_VALUES})
+            SELECT doc_id, phrase,
+                   CAST((length(text) - length(replace(text, phrase, '')))
+                     / length(phrase) AS BIGINT) AS n_matches
+            FROM documents CROSS JOIN phrases
+            WHERE length(text) <> length(replace(text, phrase, ''))
+            ORDER BY doc_id, phrase
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                   len(list_distinct(regexp_extract_all(text, '\w+'))) AS n_distinct,
+                   round(len(list_distinct(regexp_extract_all(text, '\w+')))
+                         / greatest(len(regexp_extract_all(text, '\w+')), 1), 6) AS ttr,
+                   round(list_sum(list_transform(regexp_extract_all(text, '\w+'),
+                                                 w -> length(w)))
+                         / greatest(len(regexp_extract_all(text, '\w+')), 1), 6)
+                     AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+                     length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS space,
+                     greatest(length(text), 1) AS n
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   round(alpha / n, 6) AS alpha_ratio,
+                   round(digit / n, 6) AS digit_ratio,
+                   round((n_chars - alpha - digit - space) / n, 6) AS punct_ratio,
+                   round(space / n, 6) AS space_ratio,
+                   (n_chars >= 100 AND alpha / n >= 0.6
+                    AND (n_chars - alpha - digit - space) / n <= 0.1) AS keep
+            FROM q ORDER BY doc_id
+        """,
+        "language_id": f"""
+            WITH v AS (
+              SELECT doc_id,
+                     {", ".join(f"{votes[l]} AS votes_{l}" for l in _STOPWORD_SQL)}
+              FROM documents
+            )
+            SELECT doc_id,
+                   {", ".join(f"votes_{l}" for l in _STOPWORD_SQL)},
+                   {lang_case} AS lang_guess
+            FROM v ORDER BY doc_id
+        """,
+        "fingerprints": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(
+                       regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(text) AS md5_exact,
+                   md5(norm) AS md5_normalized,
+                   list_min([md5(array_to_string(w[i:i+4], ' '))
+                             for i in range(1, greatest(len(w) - 4, 1) + 1)])
+                     AS winnow_min
+            FROM n ORDER BY doc_id
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+            ORDER BY text_hash
+        """,
+        "minhash_signatures": minhash_sig + " ORDER BY doc_id",
+        "minhash_lsh_pairs": lsh_pairs,
+        "ngram_top50": r"""
+            WITH words AS (
+              SELECT regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT unnest([array_to_string(w[i:i+1], ' ')
+                             for i in range(1, greatest(len(w) - 1, 0) + 1)])
+                       AS gram
+              FROM words WHERE len(w) >= 2
+            )
+            SELECT gram, count(*) AS freq FROM grams
+            WHERE length(gram) > 0
+            GROUP BY gram ORDER BY freq DESC, gram LIMIT 50
+        """,
+        "llr_keywords": r"""
+            WITH t AS (
+              SELECT u.gram, count(*) AS freq_t FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS gram
+                FROM documents WHERE lang = 'en') u
+              WHERE length(gram) > 0 GROUP BY 1
+            ), r AS (
+              SELECT u.gram, count(*) AS freq_r FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS gram
+                FROM documents WHERE lang <> 'en') u
+              WHERE length(gram) > 0 GROUP BY 1
+            ), j AS (
+              SELECT coalesce(t.gram, r.gram) AS gram,
+                     coalesce(freq_t, 0) AS freq_t,
+                     coalesce(freq_r, 0) AS freq_r
+              FROM t FULL OUTER JOIN r ON t.gram = r.gram
+            ), tot AS (
+              SELECT sum(freq_t)::double AS ta, sum(freq_r)::double AS tb FROM j
+            )
+            SELECT gram, freq_t, freq_r,
+                   round(CASE WHEN freq_t / ta >= freq_r / tb THEN 1 ELSE -1 END
+                     * 2.0 * (
+                       CASE WHEN freq_t > 0 THEN
+                         freq_t * ln(freq_t / (ta * (freq_t + freq_r) / (ta + tb)))
+                       ELSE 0 END +
+                       CASE WHEN freq_r > 0 THEN
+                         freq_r * ln(freq_r / (tb * (freq_t + freq_r) / (ta + tb)))
+                       ELSE 0 END), 6) AS llr
+            FROM j, tot
+            WHERE freq_t + freq_r >= 5
+            ORDER BY llr DESC, gram LIMIT 20
+        """,
+        "ann_cosine_top10": """
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qe), 6)
+                     AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_sessions": """
+            WITH lagged AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                          OR epoch(ts) - epoch(prev) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM lagged
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                       AS session_id
+              FROM flagged
+            )
+            SELECT user_id, max(session_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "events_running_value": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 6)
+                     AS running_value
+            FROM events ORDER BY user_id, event_id
+        """,
+    }

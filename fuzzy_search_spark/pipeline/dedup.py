@@ -1,0 +1,158 @@
+"""Deduplication operators: exact hash dedup, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes:
+- exact dedup is one hash-aggregate (map-side partial combine for free);
+- MinHash signatures are computed row-local (explode shingles -> min over
+  md5 hashes), then LSH banding turns near-dup search into an equi-join on
+  (band, band_hash) — the shuffle key is the band hash, which is uniform by
+  construction, so no skew;
+- all hashing uses md5 of explicit strings so results are engine-portable
+  (the DuckDB correctness oracle computes bit-identical signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, keep_id, dup_count).
+
+    Keeps the smallest id as the canonical representative."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle))
+                  .alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: (id, sig array<string>).
+
+    Hash family h_i(s) = md5(i || ':' || s); the signature component is the
+    lexicographic minimum — portable across engines."""
+    shingled = word_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, n_bands).
+
+    Documents sharing any band (num_hashes/bands rows of the signature)
+    become a candidate pair; n_bands counts how many bands agree."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[
+                    F.element_at("sig", b * rows + r + 1)
+                    for r in range(rows)
+                ])).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over lowercased word tokens: (id, simhash bigint).
+
+    Each distinct word votes +1/-1 per bit of xxhash64(word); the sign
+    vector packs into one bigint.  Spark-only (xxhash64 is not portable to
+    the oracle, so this op gets a rows-only correctness check)."""
+    words = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      F.split(F.lower(F.col(text_col)), r"\s+")))
+                  .alias("word"))
+        .filter(F.length("word") > 0)
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(63)  # avoid the sign bit to keep the packing simple
+    ]
+    voted = words.groupBy(id_col).agg(*bit_votes)
+    packed = None
+    for b in range(63):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    one shingle: (id_a, id_b, jaccard).  The join key is the shingle, so
+    common shingles fan out — use minhash_lsh_pairs first at scale; this is
+    the exact verifier for the candidate set."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

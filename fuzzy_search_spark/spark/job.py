@@ -1,0 +1,227 @@
+"""The distributed extraction + fuzzy-match job.
+
+Plan shape (all narrow until the write — Catalyst keeps this a single
+pipelined stage per group):
+
+    scan parquet/Iceberg-style table
+      -> [optional] repartition on xxhash64(url) (salting: giant-document
+         skew is defused by spreading documents uniformly; within-document
+         work is never split, so results are partitioning-invariant)
+      -> mapInPandas(extract_html + find_matches)   [one Arrow-batched pass]
+      -> write matches, partitioned by bucket
+
+The compiled phrase model is broadcast once per job (`sc.broadcast`) — the
+classic broadcast-hash-join shape: the tiny build side (phrases) probes
+against the huge stream side (documents) inside the UDF.
+
+Resumability: the job processes the input in ``num_groups`` deterministic
+url-hash groups; each group commits its output directory plus a manifest
+line (group id, model fingerprint, row counts, wall time).  A restarted job
+re-reads the manifest and anti-joins the done groups.  A model/config change
+changes the fingerprint and invalidates old groups.
+
+Lineage/metrics: a dict accumulator collects per-*partition* rows
+(docs, chars, matches, wall_ms) from inside the UDF; the driver persists
+them per group under ``_metrics/``.  (Accumulator caveat: Spark re-counts
+retried tasks; metrics are observability, not accounting.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.accumulators import AccumulatorParam
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_search_spark.extract import extract_html
+from fuzzy_search_spark.matcher import find_matches
+from fuzzy_search_spark.model import CompiledModel
+
+MATCH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("phrase", T.StringType()),
+    T.StructField("variant", T.StringType()),
+    T.StructField("string", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("end", T.IntegerType()),
+    T.StructField("label", T.ArrayType(T.StringType())),
+    T.StructField("ignorecase", T.BooleanType()),
+    T.StructField("char_match", T.DoubleType()),
+    T.StructField("ngram_match", T.DoubleType()),
+    T.StructField("levenshtein_similarity", T.DoubleType()),
+])
+
+_MATCH_COLUMNS = [f.name for f in MATCH_SCHEMA.fields]
+
+
+class _MetricsParam(AccumulatorParam):
+    """Accumulates {partition_id: [docs, chars, matches, wall_ms]}."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for key, vals in b.items():
+            if key in a:
+                a[key] = [x + y for x, y in zip(a[key], vals)]
+            else:
+                a[key] = list(vals)
+        return a
+
+
+def _label_list(label) -> Optional[List[str]]:
+    if label is None:
+        return None
+    if isinstance(label, str):
+        return [label]
+    return list(label)
+
+
+def attach_extracted_text(df: DataFrame, html_col: str = "html",
+                          out_col: str = "text") -> DataFrame:
+    """Derive the extracted-text column from raw html bytes (Arrow-batched)."""
+
+    @F.pandas_udf(T.StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_html)
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))
+
+
+def salt_by_url(df: DataFrame, num_partitions: int,
+                url_col: str = "url") -> DataFrame:
+    """Spread documents uniformly over partitions by url hash — defuses the
+    giant-document straggler tail without changing per-document results."""
+    return df.repartition(num_partitions, F.xxhash64(F.col(url_col)))
+
+
+def match_documents(df: DataFrame, model: CompiledModel,
+                    url_col: str = "url", text_col: str = "text",
+                    html_col: Optional[str] = None,
+                    metrics_acc=None) -> DataFrame:
+    """Run the fuzzy-match pipeline over a documents DataFrame.
+
+    Returns the exploded matches table (MATCH_SCHEMA).  When ``html_col`` is
+    given, rows with NULL ``text_col`` are extracted from html in the same
+    pass (no extra stage).
+    """
+    sc = df.sparkSession.sparkContext
+    bc_model = sc.broadcast(model)
+    ignorecase = model.config.ignorecase
+    use_html = html_col is not None
+    cols = [url_col, text_col] + ([html_col] if use_html else [])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = bc_model.value
+        t0 = time.monotonic()
+        docs = chars = matched = 0
+        for pdf in batches:
+            out = {c: [] for c in _MATCH_COLUMNS}
+            urls = pdf[url_col].tolist()
+            texts = pdf[text_col].tolist()
+            htmls = pdf[html_col].tolist() if use_html else None
+            for ri, url in enumerate(urls):
+                text = texts[ri]
+                if text is None and use_html:
+                    text = extract_html(htmls[ri])
+                if not text:
+                    continue
+                docs += 1
+                chars += len(text)
+                for m in find_matches(text, compiled):
+                    matched += 1
+                    out["url"].append(url)
+                    out["phrase"].append(m.phrase)
+                    out["variant"].append(m.variant)
+                    out["string"].append(m.string)
+                    out["offset"].append(m.offset)
+                    out["end"].append(m.end)
+                    out["label"].append(_label_list(m.label))
+                    out["ignorecase"].append(ignorecase)
+                    out["char_match"].append(m.char_match)
+                    out["ngram_match"].append(m.ngram_match)
+                    out["levenshtein_similarity"].append(m.levenshtein_similarity)
+            yield pd.DataFrame(out)
+        if metrics_acc is not None:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else -1
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            metrics_acc.add({pid: [docs, chars, matched, wall_ms]})
+
+    return df.select(*cols).mapInPandas(process, MATCH_SCHEMA)
+
+
+def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
+                       model: CompiledModel, *, num_groups: int = 4,
+                       salt_partitions: Optional[int] = None,
+                       resume: bool = True,
+                       url_col: str = "url", text_col: str = "text",
+                       html_col: Optional[str] = "html") -> dict:
+    """End-to-end resumable job: read -> (extract) -> match -> write.
+
+    Output layout:
+        <output>/matches/group=G/*.parquet
+        <output>/_metrics/group=G.json     per-partition lineage rows
+        <output>/_manifest.jsonl           one line per committed group
+    """
+    fingerprint = model.fingerprint()
+    manifest_path = os.path.join(output_path, "_manifest.jsonl")
+    metrics_dir = os.path.join(output_path, "_metrics")
+    os.makedirs(metrics_dir, exist_ok=True)
+
+    done = set()
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            for line in fh:
+                entry = json.loads(line)
+                if entry.get("fingerprint") == fingerprint:
+                    done.add(entry["group"])
+
+    df = spark.read.parquet(input_path)
+    if salt_partitions is None:
+        salt_partitions = spark.sparkContext.defaultParallelism * 2
+    group_expr = F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_groups))
+
+    summary = {"groups": num_groups, "skipped": sorted(done), "ran": [],
+               "fingerprint": fingerprint, "docs": 0, "matches": 0}
+    for group in range(num_groups):
+        if group in done:
+            continue
+        t0 = time.monotonic()
+        acc = spark.sparkContext.accumulator({}, _MetricsParam())
+        part = df.filter(group_expr == group)
+        part = salt_by_url(part, salt_partitions, url_col)
+        matches = match_documents(part, model, url_col=url_col,
+                                  text_col=text_col, html_col=html_col,
+                                  metrics_acc=acc)
+        group_dir = os.path.join(output_path, "matches", f"group={group}")
+        matches.write.mode("overwrite").parquet(group_dir)
+        wall = time.monotonic() - t0
+
+        partition_metrics = [
+            {"partition_id": pid, "docs": v[0], "chars": v[1],
+             "matches": v[2], "wall_ms": v[3]}
+            for pid, v in sorted(acc.value.items())
+        ]
+        docs = sum(m["docs"] for m in partition_metrics)
+        nmatches = sum(m["matches"] for m in partition_metrics)
+        with open(os.path.join(metrics_dir, f"group={group}.json"), "w") as fh:
+            json.dump({"group": group, "fingerprint": fingerprint,
+                       "wall_s": wall, "docs": docs, "matches": nmatches,
+                       "partitions": partition_metrics}, fh, indent=1)
+        with open(manifest_path, "a") as fh:
+            fh.write(json.dumps({
+                "group": group, "fingerprint": fingerprint, "docs": docs,
+                "matches": nmatches, "wall_s": round(wall, 3)}) + "\n")
+        summary["ran"].append(group)
+        summary["docs"] += docs
+        summary["matches"] += nmatches
+    return summary
