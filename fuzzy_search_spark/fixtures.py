@@ -137,11 +137,12 @@ def ocr_corrupt(s: str, rng: random.Random, char_p: float = 0.05,
     return "".join(out)
 
 
-def _bulk_text(rng: random.Random, phrases: List[str], target_chars: int) -> str:
+def _bulk_text(rng: random.Random, phrases: List[str], target_chars: int,
+               phrase_rate: float = 0.02) -> str:
     parts: List[str] = []
     size = 0
     while size < target_chars:
-        if rng.random() < 0.08:
+        if rng.random() < phrase_rate:
             phrase = rng.choice(phrases)
             piece = ocr_corrupt(phrase, rng) if rng.random() < 0.7 else phrase
         else:
@@ -167,6 +168,7 @@ def iter_web_pages(n_bulk: int = 1000, seed: int = 42,
                    median_chars: int = 2000, sigma: float = 1.0,
                    tail_docs_per_1k: int = 10, tail_chars: int = 200_000,
                    phrases: Optional[List[str]] = None,
+                   phrase_rate: float = 0.02,
                    include_goldens: bool = True) -> Iterator[Tuple]:
     """Yield (url, warc_ts, html, text, lang) rows, deterministically.
 
@@ -202,7 +204,7 @@ def iter_web_pages(n_bulk: int = 1000, seed: int = 42,
             chars = max(200, int(math.exp(
                 math.log(median_chars) + sigma * r.gauss(0, 1))))
             chars = min(chars, 50_000)
-        text = _bulk_text(r, phrase_strings, chars)
+        text = _bulk_text(r, phrase_strings, chars, phrase_rate)
         yield row(f"bulk/{b:08d}", text, "nl" if b % 3 else "en")
 
 

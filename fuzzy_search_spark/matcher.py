@@ -182,39 +182,171 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
                       skipgram_threshold: float, mlv: int,
                       gap_limit: int) -> List[_Candidate]:
     """Sequential sweep over one phrase's matched grams (text order),
-    growing/evicting a partial candidate and emitting validated spans."""
-    candidates: List[_Candidate] = []
-    partial = _Partial(cp, mlv)
-    last = len(grams) - 1
+    growing/evicting a partial candidate and emitting validated spans.
 
-    def emit(check_dup: bool) -> None:
-        if partial.start == partial.end:
+    This is the hottest loop at web scale, so the partial-candidate state
+    machine (the reference's CandidatePartial, candidate_match.py:92-329)
+    is inlined into local variables — semantics are pinned by the
+    differential parity suite against the reference library.
+    """
+    candidates: List[_Candidate] = []
+    early = cp.early
+    late = cp.late
+    first_off = cp.gram_first_offset
+    freq = cp.gram_freq
+    num_grams = cp.num_grams
+    name_len = len(cp.name)
+    max_len = name_len + mlv
+    low_len = cp.late_threshold - mlv
+    gram_set_size = len(cp.gram_set)  # overlap compared as a ratio, same
+    last = len(grams) - 1             # float expression as the reference
+
+    # partial state (glist: gram occurrences, gset: distinct keys,
+    # gcount: key multiplicities incl. zeros after eviction — the
+    # count-overlap score depends on those zeros staying present)
+    glist: List[Tuple] = []
+    gset: set = set()
+    gcount: Dict = {}
+    cdiff = 0  # running sum of |count - phrase_freq| over touched keys
+    start: Optional[int] = -1
+    end = -1
+
+    def emit() -> None:
+        # finalize the current partial as a candidate (dup-suppressed
+        # against the last emission), then optionally re-anchor the start
+        # on a later gram and emit the shifted candidate as well
+        nonlocal start, cdiff
+        if start == end:
             return  # zero-width span: the reference would raise here
-        string = text[partial.start:partial.end]
-        if not check_dup or not candidates or not (
-            candidates[-1].start == partial.start
-            and candidates[-1].end == partial.end
-        ):
-            candidates.append(_Candidate(cp, partial.start, partial.end,
-                                         string, partial.count_overlap()))
-        if partial.shift_start():
-            if partial.start != partial.end:
-                candidates.append(
-                    _Candidate(cp, partial.start, partial.end,
-                               text[partial.start:partial.end],
-                               partial.count_overlap()))
+        if not candidates or not (candidates[-1].start == start
+                                  and candidates[-1].end == end):
+            candidates.append(_Candidate(cp, start, end, text[start:end],
+                                         (len(glist) - cdiff) / num_grams))
+        # shift_start (reference candidate_match.py:173-204)
+        if end - start > name_len:
+            anchor_key, anchor_start, _ = glist[0]
+            best_po = first_off[anchor_key]
+            best_idx = 0
+            best_start = anchor_start
+            slack = (end - start) - name_len
+            for si, (k2, s2, _l2) in enumerate(glist):
+                if s2 - anchor_start > slack:
+                    break  # a later start would leave the match too short
+                po = first_off[k2]
+                if s2 > best_start and po <= best_po:
+                    best_idx, best_start, best_po = si, s2, po
+                if k2 not in early:
+                    break
+            for _ in range(best_idx):
+                k0 = glist[0][0]
+                del glist[0]
+                c0 = gcount[k0] - 1
+                gcount[k0] = c0
+                f0 = freq.get(k0, 0)
+                cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
+                if c0 == 0:
+                    gset.discard(k0)
+            k0, s0, _ = glist[0]
+            off = s0 - first_off[k0]
+            start = 0 if off < 0 else off
+            if best_idx > 0 and start != end:
+                candidates.append(_Candidate(cp, start, end, text[start:end],
+                                             (len(glist) - cdiff) / num_grams))
 
     for ci, gram in enumerate(grams):
-        partial.add(gram)
-        if partial.is_match(skipgram_threshold):
-            emit(check_dup=True)
+        key = gram[0]
+        if not glist:
+            # an empty partial only opens on an early gram — but a fully
+            # evicted partial still carries zero-count gcount entries that
+            # feed the count-overlap score, so the gap reset must still
+            # fire before skipping
+            if key not in early:
+                if gcount and ci < last:
+                    ns = grams[ci + 1][1]
+                    if ns and ns - gram[1] > gap_limit:
+                        gset = set()
+                        gcount = {}
+                        cdiff = 0
+                        start = -1
+                        end = -1
+                continue
+        # --- add the gram (reference add_skip_match) ---
+        gset.add(key)
+        glist.append(gram)
+        if start is None or start < 0:
+            k0, s0, _ = glist[0]
+            off = s0 - first_off[k0]
+            start = 0 if off < 0 else off
+        gram_end = gram[1] + gram[2]
+        if gram_end > end:
+            end = gram_end
+        c_old = gcount.get(key)
+        f_new = freq.get(key, 0)
+        if c_old is None:
+            gcount[key] = 1
+            cdiff += abs(1 - f_new)
+        else:
+            # the key may be present with count 0 (evicted): its |0-f|
+            # contribution must be replaced, not added to
+            gcount[key] = c_old + 1
+            cdiff += abs(c_old + 1 - f_new) - abs(c_old - f_new)
+        # evict from the front while the span is too long for the phrase
+        while glist and end - start > max_len:
+            k0 = glist[0][0]
+            del glist[0]
+            c0 = gcount[k0] - 1
+            gcount[k0] = c0
+            f0 = freq.get(k0, 0)
+            cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
+            if c0 == 0:
+                gset.discard(k0)
+            if glist:
+                kf, sf, _ = glist[0]
+                off = sf - first_off[kf]
+                start = 0 if off < 0 else off
+            else:
+                start = None
+                break
+        # ... and while the front gram can no longer start a match
+        while glist and glist[0][0] not in early:
+            k0 = glist[0][0]
+            del glist[0]
+            c0 = gcount[k0] - 1
+            gcount[k0] = c0
+            f0 = freq.get(k0, 0)
+            cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
+            if c0 == 0:
+                gset.discard(k0)
+            if glist:
+                kf, sf, _ = glist[0]
+                off = sf - first_off[kf]
+                start = 0 if off < 0 else off
+            else:
+                start = None
+        # --- is_match (reference candidate_match.py:234-269) ---
+        if glist and glist[0][0] in early:
+            span = end - start
+            if (span <= max_len and span >= low_len
+                    and glist[-1][0] in late
+                    and len(gset) / gram_set_size >= skipgram_threshold):
+                emit()
         next_start = grams[ci + 1][1] if ci < last else None
         if next_start and next_start - gram[1] > gap_limit:
             # the gap to the next matched gram exceeds a whole skipgram:
             # it cannot belong to this candidate
-            partial = _Partial(cp, mlv)
-    if partial.is_match(skipgram_threshold):
-        emit(check_dup=True)
+            glist = []
+            gset = set()
+            gcount = {}
+            cdiff = 0
+            start = -1
+            end = -1
+    # end of gram stream: check the remaining partial
+    if glist and glist[0][0] in early:
+        span = end - start
+        if (span <= max_len and span >= low_len
+                and glist[-1][0] in late
+                and len(gset) / gram_set_size >= skipgram_threshold):
+            emit()
     return candidates
 
 
@@ -354,56 +486,68 @@ def find_matches(text: str, model: CompiledModel,
     scan_text = text.lower() if cfg.ignorecase else text
     hits = model.scanner.scan(scan_text)
 
-    acc: Dict[Tuple[str, str], List[Tuple]] = {}
-    acc_sets: Dict[Tuple[str, str], set] = {}
+    # accumulator keyed by CompiledPhrase identity (a phrase string that is
+    # both a main phrase and a variant compiles to two distinct objects, as
+    # in the reference); values are [matched-key-set, gram-occurrence-list]
+    acc: Dict[CompiledPhrase, list] = {}
     changes = _known_word_changes(known_index) if known_index else []
     change_i = 0
+    n_changes = len(changes)
     known: Optional[dict] = None
+    gram_to_phrases = model.gram_to_phrases
+    gram_to_variants = model.gram_to_variants
+    include_variants = cfg.include_variants
+    word_in_phrase = model.word_in_phrase
+    acc_get = acc.get
     for gram in hits:
         key, gstart, glen = gram
-        while change_i < len(changes) and changes[change_i][0] <= gstart:
-            known = changes[change_i][1]
-            change_i += 1
-        for phrase_string in model.gram_to_phrases.get(key, ()):
-            cp = model.phrases[phrase_string]
-            if cp.max_start_offset > 0 and \
-                    cp.max_start_end + mlv < gstart + glen:
-                continue
-            if cp.max_end_offset > 0 and gstart + glen > cp.max_end_offset + mlv:
-                continue  # intended max_end pruning (crashes in the reference)
-            if known and phrase_string in known["match_phrases"]:
-                continue
-            k = ("p", phrase_string)
-            if k in acc:
-                acc[k].append(gram)
-                acc_sets[k].add(key)
-            else:
-                acc[k] = [gram]
-                acc_sets[k] = {key}
-        if cfg.include_variants:
-            for variant_string in model.gram_to_variants.get(key, ()):
-                if known:
-                    if variant_string not in model.word_in_phrase.get(
-                            known["word"], ()):
+        if change_i < n_changes:
+            while change_i < n_changes and changes[change_i][0] <= gstart:
+                known = changes[change_i][1]
+                change_i += 1
+        plist = gram_to_phrases.get(key)
+        if plist is not None:
+            for cp in plist:
+                if cp.needs_offset_prune:
+                    if cp.max_start_offset > 0 and \
+                            cp.max_start_end + mlv < gstart + glen:
                         continue
-                    if variant_string in known["match_phrases"]:
+                    if cp.max_end_offset > 0 and \
+                            gstart + glen > cp.max_end_offset + mlv:
+                        # intended max_end pruning (crashes in the reference)
                         continue
-                k = ("v", variant_string)
-                if k in acc:
-                    acc[k].append(gram)
-                    acc_sets[k].add(key)
+                if known is not None and cp.name in known["match_phrases"]:
+                    continue
+                ent = acc_get(cp)
+                if ent is None:
+                    acc[cp] = [{key}, [gram]]
                 else:
-                    acc[k] = [gram]
-                    acc_sets[k] = {key}
+                    ent[0].add(key)
+                    ent[1].append(gram)
+        if include_variants:
+            vlist = gram_to_variants.get(key)
+            if vlist is not None:
+                for vp in vlist:
+                    if known is not None:
+                        if vp.name not in word_in_phrase.get(
+                                known["word"], ()):
+                            continue
+                        if vp.name in known["match_phrases"]:
+                            continue
+                    ent = acc_get(vp)
+                    if ent is None:
+                        acc[vp] = [{key}, [gram]]
+                    else:
+                        ent[0].add(key)
+                        ent[1].append(gram)
 
     # 4-5: per-phrase prefilter + candidate assembly, grouped by main phrase
     gap_limit = cfg.ngram_size + cfg.skip_size + 1
     groups: Dict[str, List[_Candidate]] = {}
-    for (kind, name), grams in acc.items():
-        cp = model.phrases[name] if kind == "p" else model.variants[name]
-        if len(acc_sets[(kind, name)]) / len(cp.gram_set) < cfg.skipgram_threshold:
+    for cp, (gset, grams) in acc.items():
+        if len(gset) / len(cp.gram_set) < cfg.skipgram_threshold:
             continue
-        main = model.is_variant_of.get(name, name)
+        main = model.is_variant_of.get(cp.name, cp.name)
         groups.setdefault(main, []).extend(
             _sweep_candidates(cp, grams, text, cfg.skipgram_threshold, mlv,
                               gap_limit))

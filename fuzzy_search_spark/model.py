@@ -36,7 +36,7 @@ from fuzzy_search_spark.kernels.skipgrams import GramKey, GramScanner, keyed_ski
 _WORD_RE = re.compile(r"\w+")
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: phrases key accumulator dicts
 class CompiledPhrase:
     """One phrase (or variant, or distractor) compiled for matching."""
 
@@ -55,10 +55,16 @@ class CompiledPhrase:
     max_start_end: int = -1
     max_end_offset: int = -1
     metadata: dict = field(default_factory=dict)
+    # plain field (not a property): read once per (gram x phrase) probe
+    needs_offset_prune: bool = False
 
     @property
     def has_max_start(self) -> bool:
         return self.max_start_offset >= 0
+
+    def refresh_prune_flag(self) -> None:
+        self.needs_offset_prune = (
+            self.max_start_offset > 0 or self.max_end_offset > 0)
 
 
 def compile_phrase(phrase: Union[str, dict], config: SearchConfig) -> CompiledPhrase:
@@ -91,6 +97,7 @@ def compile_phrase(phrase: Union[str, dict], config: SearchConfig) -> CompiledPh
         cp.max_start_end = cp.max_start_offset + len(name)
     if isinstance(props.get("max_end_offset"), int) and props["max_end_offset"] >= 0:
         cp.max_end_offset = props["max_end_offset"]
+    cp.refresh_prune_flag()
     return cp
 
 
@@ -103,9 +110,11 @@ class CompiledModel:
     variants: Dict[str, CompiledPhrase]      # variants by variant string
     is_variant_of: Dict[str, str]
     has_distractors: Dict[str, List[str]]    # main phrase -> distractor strings
-    # inverted gram indexes over *match-case* gram keys
-    gram_to_phrases: Dict[GramKey, List[str]]
-    gram_to_variants: Dict[GramKey, List[str]]
+    # inverted gram indexes over *match-case* gram keys; values are the
+    # compiled phrase objects themselves (probe-time lookups stay O(1)
+    # without a second name->object hop in the hot loop)
+    gram_to_phrases: Dict[GramKey, List["CompiledPhrase"]]
+    gram_to_variants: Dict[GramKey, List["CompiledPhrase"]]
     # exact-match word indexes (over phrases AND variants AND distractors,
     # mirroring the reference's _index_phrase_words coverage)
     word_in_phrase: Dict[str, Set[str]]
@@ -173,6 +182,7 @@ def compile_model(phrases: Sequence[Union[str, dict]],
                 cp.max_start_offset + len(vp.name) if cp.max_start_offset >= 0 else -1
             )
             vp.max_end_offset = cp.max_end_offset
+            vp.refresh_prune_flag()
             variants[vp.name] = vp
             is_variant_of[vp.name] = cp.name
             phrase_type.setdefault(vp.name, set()).add("variant")
@@ -184,14 +194,14 @@ def compile_model(phrases: Sequence[Union[str, dict]],
             phrase_type.setdefault(dp.name, set()).add("distractor")
             index_words(dp)
 
-    gram_to_phrases: Dict[GramKey, List[str]] = {}
-    for name, cp in main.items():
+    gram_to_phrases: Dict[GramKey, List[CompiledPhrase]] = {}
+    for cp in main.values():
         for key in dict.fromkeys(g[0] for g in cp.grams):
-            gram_to_phrases.setdefault(key, []).append(name)
-    gram_to_variants: Dict[GramKey, List[str]] = {}
-    for name, vp in variants.items():
+            gram_to_phrases.setdefault(key, []).append(cp)
+    gram_to_variants: Dict[GramKey, List[CompiledPhrase]] = {}
+    for vp in variants.values():
         for key in dict.fromkeys(g[0] for g in vp.grams):
-            gram_to_variants.setdefault(key, []).append(name)
+            gram_to_variants.setdefault(key, []).append(vp)
 
     vocab = set(gram_to_phrases)
     if cfg.include_variants:
