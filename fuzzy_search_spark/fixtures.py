@@ -198,7 +198,9 @@ def iter_web_pages(n_bulk: int = 1000, seed: int = 42,
     rng = random.Random(seed)
     for b in range(n_bulk):
         r = random.Random(seed * 1_000_003 + b)
-        if tail_docs_per_1k and b % 1000 < tail_docs_per_1k:
+        # giants are spread through the corpus (every ~100th doc), as in a
+        # real crawl — clustering them would manufacture one straggler split
+        if tail_docs_per_1k and b % (1000 // tail_docs_per_1k) == 7:
             chars = tail_chars
         else:
             chars = max(200, int(math.exp(
@@ -217,19 +219,34 @@ def web_pages_pandas(n_bulk: int = 1000, **kwargs):
         rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def write_web_pages_parquet(path: str, n_bulk: int = 1000, **kwargs) -> int:
-    """Materialize the corpus to parquet; returns the row count."""
+def write_web_pages_parquet(path: str, n_bulk: int = 1000, n_files: int = 1,
+                            **kwargs) -> int:
+    """Materialize the corpus to parquet; returns the row count.
+
+    With ``n_files > 1``, ``path`` becomes a directory of shard files
+    (round-robin rows) — the natural crawl-shard layout, which gives Spark
+    per-file scan parallelism without split-size tuning."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = web_pages_pandas(n_bulk=n_bulk, **kwargs)
-    table = pa.Table.from_pandas(df, preserve_index=False)
-    table = table.cast(pa.schema([
+    schema = pa.schema([
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us")),
         ("html", pa.binary()),
         ("text", pa.string()),
         ("lang", pa.string()),
-    ]))
-    pq.write_table(table, path)
+    ])
+    if n_files <= 1:
+        table = pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+        pq.write_table(table, path, row_group_size=256)
+        return len(df)
+    os.makedirs(path, exist_ok=True)
+    for f in range(n_files):
+        shard = df.iloc[f::n_files]
+        table = pa.Table.from_pandas(shard, preserve_index=False).cast(schema)
+        pq.write_table(table, os.path.join(path, f"part-{f:05d}.parquet"),
+                       row_group_size=256)
     return len(df)

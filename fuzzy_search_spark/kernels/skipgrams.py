@@ -101,7 +101,17 @@ class GramScanner:
 
     def scan(self, text: str) -> List[Tuple[GramKey, int, int]]:
         """Occurrences of vocabulary grams in ``text`` as (key, start,
-        length), in reference generation order."""
+        length) tuples, in reference generation order."""
+        out = self.scan_arrays(text)
+        if isinstance(out, list):
+            return out
+        keys, starts, lens = out
+        return list(zip(keys.tolist(), starts.tolist(), lens.tolist()))
+
+    def scan_arrays(self, text: str):
+        """Like :meth:`scan` but returns (keys, starts, lens) int64 arrays
+        when the vectorized path applies, else a list of tuples (short
+        texts / exotic gram sizes / string keys)."""
         n = len(text)
         if not self._vectorized or n <= self.ngram_size or n < 64:
             # short texts / exotic ngram sizes: direct generation is cheaper
@@ -131,14 +141,14 @@ class GramScanner:
                 keys_parts.append(keys[idxs])
                 len_parts.append(np.full(idxs.size, last + 1, dtype=np.int64))
         if not starts_parts:
-            return []
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
         starts = np.concatenate(starts_parts)
         order = np.concatenate(order_parts)
         keys = np.concatenate(keys_parts)
         lens = np.concatenate(len_parts)
         perm = np.lexsort((order, starts))
-        return list(zip(keys[perm].tolist(), starts[perm].tolist(),
-                        lens[perm].tolist()))
+        return keys[perm], starts[perm], lens[perm]
 
     def __getstate__(self):
         return {

@@ -468,29 +468,12 @@ def _known_word_changes(index: Dict[int, dict]) -> List[Tuple[int, Optional[dict
     return changes
 
 
-def find_matches(text: str, model: CompiledModel,
-                 text_id: Optional[str] = None) -> List[Match]:
-    """Find all fuzzy phrase matches in one document."""
-    cfg = model.config
-    mlv = cfg.max_length_variance
-
-    # 1-2: exact prepass + known-word suppression index
-    if cfg.skip_exact_matching:
-        exact_matches: List[Match] = []
-        known_index: Dict[int, dict] = {}
-    else:
-        exact_matches = _find_exact_matches(text, model)
-        known_index = _index_known_words(exact_matches)
-
-    # 3: vectorized skipgram scan + inverted-index probe
-    scan_text = text.lower() if cfg.ignorecase else text
-    hits = model.scanner.scan(scan_text)
-
-    # accumulator keyed by CompiledPhrase identity (a phrase string that is
-    # both a main phrase and a variant compiles to two distinct objects, as
-    # in the reference); values are [matched-key-set, gram-occurrence-list]
+def _accumulate_python(hits, model: CompiledModel, cfg, mlv: int,
+                       changes) -> list:
+    """Per-hit accumulation (fallback for string-keyed models / short
+    texts): returns [(compiled_phrase, gram_list)] for phrases passing the
+    skipgram-set overlap prefilter, in first-surviving-hit order."""
     acc: Dict[CompiledPhrase, list] = {}
-    changes = _known_word_changes(known_index) if known_index else []
     change_i = 0
     n_changes = len(changes)
     known: Optional[dict] = None
@@ -540,13 +523,118 @@ def find_matches(text: str, model: CompiledModel,
                     else:
                         ent[0].add(key)
                         ent[1].append(gram)
+    return [
+        (cp, grams) for cp, (gset, grams) in acc.items()
+        if len(gset) / len(cp.gram_set) >= cfg.skipgram_threshold
+    ]
 
-    # 4-5: per-phrase prefilter + candidate assembly, grouped by main phrase
+
+def _accumulate_vectorized(hits, model: CompiledModel, cfg, mlv: int,
+                           changes) -> list:
+    """NumPy accumulation: no Python work per hit.  For each searchable
+    phrase, membership of the hit-key stream against the phrase's sorted
+    key array gives its gram sublist directly; a cheap distinct-key
+    over-approximation skips phrases below the skipgram threshold before
+    any per-hit materialization (suppression/pruning only shrink the match
+    set, so the over-approximation is safe).  Output order replicates the
+    per-hit path: (first surviving hit, mains before variants, model
+    order)."""
+    import numpy as np
+
+    keys, starts, lens = hits
+    if keys.size == 0:
+        return []
+    uniq = np.unique(keys)
+    ends = starts + lens
+    thr = cfg.skipgram_threshold
+
+    bounds = None
+    entries = None
+    if changes:
+        bounds = np.array([c[0] for c in changes], dtype=np.int64)
+        entries = [c[1] for c in changes]
+        seg_of = np.searchsorted(bounds, starts, side="right") - 1
+
+    searchables = [(0, i, cp) for i, cp in enumerate(model.phrases.values())]
+    if cfg.include_variants:
+        searchables += [(1, i, vp)
+                        for i, vp in enumerate(model.variants.values())]
+
+    word_in_phrase = model.word_in_phrase
+    ordered = []
+    for kind, rank, cp in searchables:
+        pk = cp.sorted_keys_np
+        gram_set_size = len(cp.gram_set)
+        # over-approximate distinct overlap on the doc's unique keys
+        pos = np.searchsorted(uniq, pk)
+        np.minimum(pos, uniq.size - 1, out=pos)
+        approx = int((uniq[pos] == pk).sum())
+        if approx / gram_set_size < thr:
+            continue
+        pos = np.searchsorted(pk, keys)
+        np.minimum(pos, pk.size - 1, out=pos)
+        mask = pk[pos] == keys
+        if kind == 0 and cp.needs_offset_prune:
+            if cp.max_start_offset > 0:
+                mask &= ends <= cp.max_start_end + mlv
+            if cp.max_end_offset > 0:
+                # intended max_end pruning (crashes in the reference)
+                mask &= ends <= cp.max_end_offset + mlv
+        if changes:
+            if kind == 0:
+                bad = np.array([
+                    e is not None and cp.name in e["match_phrases"]
+                    for e in entries])
+            else:
+                bad = np.array([
+                    e is not None and (
+                        cp.name not in word_in_phrase.get(e["word"], ())
+                        or cp.name in e["match_phrases"])
+                    for e in entries])
+            if bad.any():
+                mask &= ~((seg_of >= 0) & bad[np.clip(seg_of, 0, None)])
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            continue
+        mkeys = keys[idx]
+        if np.unique(mkeys).size / gram_set_size < thr:
+            continue
+        grams = list(zip(mkeys.tolist(), starts[idx].tolist(),
+                         lens[idx].tolist()))
+        ordered.append((int(idx[0]), kind, rank, cp, grams))
+    ordered.sort(key=lambda t: (t[0], t[1], t[2]))
+    return [(t[3], t[4]) for t in ordered]
+
+
+def find_matches(text: str, model: CompiledModel,
+                 text_id: Optional[str] = None) -> List[Match]:
+    """Find all fuzzy phrase matches in one document."""
+    cfg = model.config
+    mlv = cfg.max_length_variance
+
+    # 1-2: exact prepass + known-word suppression index
+    if cfg.skip_exact_matching:
+        exact_matches: List[Match] = []
+        known_index: Dict[int, dict] = {}
+    else:
+        exact_matches = _find_exact_matches(text, model)
+        known_index = _index_known_words(exact_matches)
+
+    # 3: vectorized skipgram scan + inverted-index probe
+    scan_text = text.lower() if cfg.ignorecase else text
+    hits = model.scanner.scan_arrays(scan_text)
+    changes = _known_word_changes(known_index) if known_index else []
+
+    if isinstance(hits, list):
+        per_phrase = _accumulate_python(hits, model, cfg, mlv, changes)
+    else:
+        per_phrase = _accumulate_vectorized(hits, model, cfg, mlv, changes)
+
+    # 4-5: per-phrase prefilter (done inside accumulation) + candidate
+    # assembly, grouped by main phrase
     gap_limit = cfg.ngram_size + cfg.skip_size + 1
     groups: Dict[str, List[_Candidate]] = {}
-    for cp, (gset, grams) in acc.items():
-        if len(gset) / len(cp.gram_set) < cfg.skipgram_threshold:
-            continue
+    for cp, grams in per_phrase:
         main = model.is_variant_of.get(cp.name, cp.name)
         groups.setdefault(main, []).extend(
             _sweep_candidates(cp, grams, text, cfg.skipgram_threshold, mlv,

@@ -57,6 +57,9 @@ class CompiledPhrase:
     metadata: dict = field(default_factory=dict)
     # plain field (not a property): read once per (gram x phrase) probe
     needs_offset_prune: bool = False
+    # sorted int64 key array for vectorized membership tests (None when the
+    # model uses string keys, i.e. ngram_size > 3)
+    sorted_keys_np: object = None
 
     @property
     def has_max_start(self) -> bool:
@@ -98,6 +101,10 @@ def compile_phrase(phrase: Union[str, dict], config: SearchConfig) -> CompiledPh
     if isinstance(props.get("max_end_offset"), int) and props["max_end_offset"] >= 0:
         cp.max_end_offset = props["max_end_offset"]
     cp.refresh_prune_flag()
+    if all(isinstance(k, int) for k in cp.gram_set):
+        import numpy as np
+
+        cp.sorted_keys_np = np.array(sorted(cp.gram_set), dtype=np.int64)
     return cp
 
 
