@@ -93,6 +93,22 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "offset", "end", "phrase")
 
 
+def q_token_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level fuzzy matching (the reference's FuzzyTokenSearcher)."""
+    from fuzzy_search_spark.spark.job import match_documents_tokens
+    from fuzzy_search_spark.token_matcher import compile_token_model
+
+    tmodel = compile_token_model(FUZZY_MODEL, FUZZY_CONFIG)
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = match_documents_tokens(docs, tmodel)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "phrase", "variant", "string", "offset", "end",
+        "levenshtein_similarity",
+    ).orderBy("doc_id", "offset", "end", "phrase")
+
+
 def q_exact_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring phrase occurrence counts (engine exact-match path,
     cross-checked against a pure-SQL substring counter)."""
@@ -243,6 +259,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fuzzy_match": q_fuzzy_match,
+        "token_fuzzy_match": q_token_fuzzy_match,
         "exact_match_counts": q_exact_match_counts,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,

@@ -159,6 +159,51 @@ def match_documents(df: DataFrame, model: CompiledModel,
     return df.select(*cols).mapInPandas(process, MATCH_SCHEMA)
 
 
+def match_documents_tokens(df: DataFrame, token_model,
+                           url_col: str = "url", text_col: str = "text",
+                           html_col: Optional[str] = None) -> DataFrame:
+    """Token-level fuzzy match over a documents DataFrame (the fast,
+    slightly-less-exhaustive pipeline).  Same broadcast + mapInPandas shape
+    as match_documents; char/ngram scores are NULL by design (the token
+    searcher computes only the Levenshtein ratio)."""
+    from fuzzy_search_spark.token_matcher import find_token_matches
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(token_model)
+    use_html = html_col is not None
+    cols = [url_col, text_col] + ([html_col] if use_html else [])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = bc.value
+        for pdf in batches:
+            out = {c: [] for c in _MATCH_COLUMNS}
+            urls = pdf[url_col].tolist()
+            texts = pdf[text_col].tolist()
+            htmls = pdf[html_col].tolist() if use_html else None
+            for ri, url in enumerate(urls):
+                text = texts[ri]
+                if text is None and use_html:
+                    text = extract_html(htmls[ri])
+                if not text:
+                    continue
+                for m in find_token_matches(text, compiled):
+                    out["url"].append(url)
+                    out["phrase"].append(m.phrase)
+                    out["variant"].append(m.variant)
+                    out["string"].append(m.string)
+                    out["offset"].append(m.offset)
+                    out["end"].append(m.end)
+                    out["label"].append(_label_list(m.label))
+                    out["ignorecase"].append(False)
+                    out["char_match"].append(m.char_match)
+                    out["ngram_match"].append(m.ngram_match)
+                    out["levenshtein_similarity"].append(
+                        m.levenshtein_similarity)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(process, MATCH_SCHEMA)
+
+
 def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
                        model: CompiledModel, *, num_groups: int = 4,
                        salt_partitions: Optional[int] = None,

@@ -1,0 +1,595 @@
+"""Token-level fuzzy matcher (the reference's FuzzyTokenSearcher, §2.5).
+
+Faster than whole-phrase skipgram matching: phrases and text are tokenized
+(WordPunct), phrase *tokens* are skipgram-indexed, per-token candidate
+matches are typed (full / partial-of-phrase-token / partial-of-text-token)
+and chained into phrase matches.  Like the phrase matcher, this runs
+sequentially per document inside pandas UDFs.
+
+Semantics anchors: search/token_searcher.py (classes TokenMatch /
+PartialPhraseMatch, get_token_skipgram_matches:1125-1163, match typing
+1188-1257, per-token chaining 599-730, phrase chaining 902-1057, best-pick
+732-811).  Notable reference quirks replicated or guarded:
+
+- the searcher reads thresholds from its *config dict* (published defaults:
+  levenshtein 0.6) rather than the hardcoded attribute defaults;
+- the tokenizer never lowercases regardless of `ignorecase`;
+- partial-match bookkeeping is never actually emptied between tokens (the
+  reference rebinds a local, a no-op);
+- a stale empty partial list would crash the reference (IndexError at
+  [-1]); we treat it as absent;
+- emitted matches report `end = offset + len(joined_token_string)` — the
+  joined string may be shorter than the covered text span;
+- char/ngram scores are not computed (None), only the Levenshtein ratio
+  with the score_cutoff collapse semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+
+from fuzzy_search_spark.config import PUBLISHED_DEFAULT_CONFIG
+from fuzzy_search_spark.kernels import strings as S
+from fuzzy_search_spark.kernels.tokenize import wordpunct_spans
+from fuzzy_search_spark.matcher import Match
+
+
+class MatchType(Enum):
+    NONE = 0
+    PARTIAL_OF_PHRASE_TOKEN = 0.5
+    PARTIAL_OF_TEXT_TOKEN = 1.5
+    FULL = 1
+
+
+@dataclass(eq=False)
+class Tok:
+    """A text token (reference tokenization/token.py Token)."""
+
+    n: str            # normalised string (== raw string, WordPunct default)
+    index: int
+    char_index: int
+    char_end_index: int
+
+
+def token_skipgrams(token: str, ngram_size: int = 2, skip_size: int = 2,
+                    pad_token: bool = False) -> List[Tuple[str, int, int]]:
+    """(gram, start, length) skipgrams of one token (reference
+    token2skipgrams, tokenization/string.py:258-330)."""
+    from itertools import combinations
+
+    n = len(token)
+    out: List[Tuple[str, int, int]] = []
+    if ngram_size == 1:
+        return [(ch, 0, 1) for ch in token]
+    pad = ngram_size - 1 if pad_token else 0
+    padded = "#" * pad + token + "#" * pad if pad_token else token
+    if n <= ngram_size and not pad_token:
+        return [(token, 0, n)]
+    combos = list(combinations(range(1, ngram_size + skip_size),
+                               ngram_size - 1))
+    win = ngram_size + skip_size
+    for padded_start in range(len(padded)):
+        window = padded[padded_start:padded_start + win]
+        wlen = len(window)
+        for combo in combos:
+            if combo[-1] >= wlen:
+                continue
+            gram = window[0] + "".join(window[i] for i in combo)
+            # correct combination indexes back to unpadded coordinates,
+            # dropping positions that fall inside the padding
+            adj = [i + padded_start for i in (0,) + combo
+                   if pad <= i + padded_start < n + pad]
+            if not adj:
+                continue
+            length = adj[-1] - adj[0] + 1
+            start = adj[0] - pad
+            out.append((gram, start, length))
+    return out
+
+
+@dataclass(eq=False)
+class TokenPhrase:
+    """A phrase as seen by the token searcher."""
+
+    name: str
+    kind: str                      # 'phrase' | 'variant' | 'distractor'
+    tokens: List[Tok]
+    label_set: Set[str]
+    max_start_offset: int = -1
+    max_end_offset: int = -1
+
+
+@dataclass
+class TokenModel:
+    """Compiled, broadcastable token-search model."""
+
+    ngram_size: int
+    skip_size: int
+    pad_token: bool
+    skipgram_threshold: float
+    levenshtein_threshold: float
+    max_length_variance: int
+    max_token_length_variance: int
+    max_char_gap: int
+    max_token_gap: int
+    phrases: Dict[str, TokenPhrase]            # resolution order: phrase>variant>distractor
+    is_variant_of: Dict[str, str]
+    main_max_start: Dict[str, int]             # main phrase -> max_start_offset
+    token_in_phrase: Dict[str, List[str]]      # token.n -> phrase names
+    min_token_offset: Dict[Tuple[str, str], int]
+    max_token_offset: Dict[Tuple[str, str], int]
+    ptoken_max_start: Dict[str, int]
+    ptoken_max_end: Dict[str, int]
+    gram_to_ptokens: Dict[str, List[str]]
+    token_num_skips: Dict[str, int]
+    vocab_terms: Set[str]
+    distractor_pairs: Set[Tuple[str, str]]
+    vocab_cache: Dict[str, List[Tuple[str, "MatchType"]]] = field(
+        default_factory=dict)
+
+
+def _is_distractor(text_token: str, phrase_token: str,
+                   dist_threshold: int = 2) -> bool:
+    """Reference is_distractor (token_searcher.py:861-872)."""
+    dist = S.levenshtein_distance(text_token, phrase_token)
+    length_diff = abs(len(text_token) - len(phrase_token))
+    if dist - length_diff == 0 and len(text_token) <= 3:
+        return text_token not in phrase_token
+    return dist - length_diff > dist_threshold
+
+
+def compile_token_model(phrases: Sequence[Union[str, dict]],
+                        config: Optional[dict] = None,
+                        vocabulary: Optional[List[str]] = None) -> TokenModel:
+    """Compile a phrase list into a TokenModel (driver-side, broadcast)."""
+    config = dict(config or {})
+
+    def cfg(key, default):
+        return config.get(key, PUBLISHED_DEFAULT_CONFIG.get(key, default))
+
+    mlv = cfg("max_length_variance", 1)
+    tm = TokenModel(
+        ngram_size=cfg("ngram_size", 2),
+        skip_size=cfg("skip_size", 2),
+        pad_token=bool(config.get("pad_token", False)),
+        skipgram_threshold=cfg("skipgram_threshold", 0.2),
+        levenshtein_threshold=cfg("levenshtein_threshold", 0.6),
+        max_length_variance=mlv,
+        max_token_length_variance=config.get("max_token_length_variance", mlv),
+        max_char_gap=int(config.get("max_char_gap", 20)),
+        max_token_gap=int(config.get("max_token_gap", 1)),
+        phrases={}, is_variant_of={}, main_max_start={},
+        token_in_phrase={}, min_token_offset={}, max_token_offset={},
+        ptoken_max_start={}, ptoken_max_end={},
+        gram_to_ptokens={}, token_num_skips={},
+        vocab_terms=set(), distractor_pairs=set(),
+    )
+
+    def tokenize_phrase(name: str) -> List[Tok]:
+        doc_len = len(name)
+        return [
+            Tok(n=string, index=ti, char_index=start,
+                char_end_index=doc_len - (start + len(string) + 1))
+            for ti, (string, start, _end) in enumerate(wordpunct_spans(name))
+        ]
+
+    def register(name: str, kind: str, label, max_start: int,
+                 max_end: int) -> None:
+        if name in tm.phrases:
+            return  # first registration wins for resolution (phrase first)
+        if isinstance(label, str):
+            label_set = {label}
+        elif label:
+            label_set = set(label)
+        else:
+            label_set = set()
+        tp = TokenPhrase(name=name, kind=kind, tokens=tokenize_phrase(name),
+                         label_set=label_set, max_start_offset=max_start,
+                         max_end_offset=max_end)
+        tm.phrases[name] = tp
+        for tok in tp.tokens:
+            tm.token_in_phrase.setdefault(tok.n, [])
+            if name not in tm.token_in_phrase[tok.n]:
+                tm.token_in_phrase[tok.n].append(name)
+            key = (tok.n, name)
+            if key not in tm.min_token_offset:
+                tm.min_token_offset[key] = tok.char_index
+            tm.max_token_offset[key] = tok.char_index
+
+    entries = [{"phrase": p} if isinstance(p, str) else dict(p)
+               for p in phrases]
+    # registration order mirrors the reference: mains, then variants
+    # (inheriting the main's label/max offsets), then distractors
+    for e in entries:
+        register(e["phrase"], "phrase", e.get("label"),
+                 e.get("max_start_offset", -1), e.get("max_end_offset", -1))
+    for e in entries:
+        for v in e.get("variants", []) or []:
+            register(v, "variant", e.get("label"),
+                     e.get("max_start_offset", -1),
+                     e.get("max_end_offset", -1))
+            tm.is_variant_of[v] = e["phrase"]
+    for e in entries:
+        for d in e.get("distractors", []) or []:
+            register(d, "distractor", None, -1, -1)
+
+    for name, tp in tm.phrases.items():
+        if tp.kind == "phrase":
+            tm.main_max_start[name] = tp.max_start_offset
+
+    # per-token max offsets: set only when every phrase containing the
+    # token restricts the offset (phrase_model.py:773-817)
+    for tok_n, names in tm.token_in_phrase.items():
+        starts, ends = [], []
+        all_start = all_end = True
+        for name in names:
+            tp = tm.phrases[name]
+            if tp.max_start_offset >= 0:
+                starts.append(tp.max_start_offset
+                              + tm.max_token_offset[(tok_n, name)])
+            else:
+                all_start = False
+            if tp.max_end_offset >= 0:
+                ends.append(tp.max_end_offset
+                            + tm.min_token_offset[(tok_n, name)])
+            else:
+                all_end = False
+        if all_start and starts:
+            tm.ptoken_max_start[tok_n] = max(starts)
+        if all_end and ends:
+            tm.ptoken_max_end[tok_n] = max(ends)
+
+    # phrase-token skipgram index
+    for tok_n in tm.token_in_phrase:
+        skips = token_skipgrams(tok_n, tm.ngram_size, tm.skip_size,
+                                tm.pad_token)
+        tm.token_num_skips[tok_n] = len(skips)
+        for gram, _s, _l in skips:
+            lst = tm.gram_to_ptokens.setdefault(gram, [])
+            if tok_n not in lst:
+                lst.append(tok_n)
+
+    # vocabulary: user terms + every phrase token; classify match vs
+    # distractor pairs, then precompute each term's typed match list
+    tm.vocab_terms = set(vocabulary or [])
+    tm.vocab_terms.update(tm.token_in_phrase)
+    # NB: the reference builds the probe token with char_index=0 and
+    # char_end_index=len(term), so the within-offset check applies at
+    # compile time too (token_searcher.py:466-495,563-577)
+    for term in sorted(tm.vocab_terms):
+        probe = _probe_token(term, 0, len(term), tm)
+        for ptoken, _mtype in probe:
+            if _is_distractor(term, ptoken):
+                tm.distractor_pairs.add((term, ptoken))
+    for term in sorted(tm.vocab_terms):
+        probe = _probe_token(term, 0, len(term), tm)
+        tm.vocab_cache[term] = [
+            (pt, mt) for pt, mt in probe
+            if (term, pt) not in tm.distractor_pairs
+            and mt is not MatchType.NONE
+        ]
+    return tm
+
+
+def _within_offsets(tm: TokenModel, ptoken: str, char_index: int,
+                    char_end_index: int) -> bool:
+    """token_within_phrase_offset (token_searcher.py:1060-1092)."""
+    if ptoken in tm.ptoken_max_start and char_index > tm.ptoken_max_start[ptoken]:
+        return False
+    if ptoken in tm.ptoken_max_end and char_end_index > tm.ptoken_max_end[ptoken]:
+        return False
+    return True
+
+
+def _probe_token(token_n: str, char_index: int, char_end_index: int,
+                 tm: TokenModel,
+                 within_offsets: bool = True) -> List[Tuple[str, MatchType]]:
+    """Fresh skipgram probe of one text token against phrase tokens,
+    returning (phrase_token, match_type) in first-gram-match order."""
+    skips = token_skipgrams(token_n, tm.ngram_size, tm.skip_size,
+                            tm.pad_token)
+    check_distractors = token_n in tm.vocab_terms
+    # per ptoken: [distinct gram set, first (start,len), last (start,len)]
+    matched: Dict[str, list] = {}
+    for gram, start, length in skips:
+        plist = tm.gram_to_ptokens.get(gram)
+        if not plist:
+            continue
+        for ptoken in plist:
+            if check_distractors and (token_n, ptoken) in tm.distractor_pairs:
+                continue
+            if within_offsets and not _within_offsets(
+                    tm, ptoken, char_index, char_end_index):
+                continue
+            ent = matched.get(ptoken)
+            if ent is None:
+                matched[ptoken] = [{gram}, (start, length), (start, length)]
+            else:
+                ent[0].add(gram)
+                ent[2] = (start, length)
+    num_skips = len(skips)
+    out = []
+    for ptoken, (gram_set, first, last) in matched.items():
+        out.append((ptoken, _match_type(token_n, num_skips, len(gram_set),
+                                        first, last, ptoken, tm)))
+    return out
+
+
+def _match_type(token_n: str, num_skips: int, num_matched: int,
+                first: Tuple[int, int], last: Tuple[int, int],
+                ptoken: str, tm: TokenModel) -> MatchType:
+    """get_token_skip_match_type (token_searcher.py:1188-1257)."""
+    overlap_start = first[0]
+    overlap_end = last[0] + last[1]
+    text_overlap = num_matched / num_skips if num_skips else 0.0
+    phrase_overlap = num_matched / tm.token_num_skips[ptoken]
+    if text_overlap > phrase_overlap:
+        length_variance = len(token_n) - (overlap_end - overlap_start)
+    else:
+        length_variance = len(ptoken) - (overlap_end - overlap_start)
+    if text_overlap < tm.skipgram_threshold and \
+            phrase_overlap < tm.skipgram_threshold:
+        return MatchType.NONE
+    if length_variance > tm.max_token_length_variance:
+        return MatchType.NONE
+    if abs(len(token_n) - len(ptoken)) <= tm.max_token_length_variance:
+        return MatchType.FULL
+    if len(token_n) < len(ptoken):
+        return MatchType.PARTIAL_OF_PHRASE_TOKEN
+    return MatchType.PARTIAL_OF_TEXT_TOKEN
+
+
+@dataclass(eq=False)
+class TokenMatch:
+    text_tokens: Tuple[Tok, ...]
+    ptoken: str
+    match_type: MatchType
+
+    @property
+    def text_start(self) -> int:
+        return self.text_tokens[0].char_index
+
+    @property
+    def text_end(self) -> int:
+        last = self.text_tokens[-1]
+        return last.char_index + len(last.n)
+
+
+class _PartialPhrase:
+    """Reference PartialPhraseMatch (add_tokens/_update/copy semantics)."""
+
+    __slots__ = ("phrase", "token_matches", "text_tokens", "phrase_tokens",
+                 "missing", "text_start", "text_end", "text_length",
+                 "match_string", "lev")
+
+    def __init__(self, phrase: TokenPhrase,
+                 token_matches: Optional[List[TokenMatch]] = None):
+        self.phrase = phrase
+        self.token_matches: List[TokenMatch] = []
+        self.text_tokens: tuple = ()
+        self.phrase_tokens: tuple = ()
+        self.missing = [t.n for t in phrase.tokens]
+        self.text_start = -1
+        self.text_end = -1
+        self.text_length = 0
+        self.match_string: Optional[str] = None
+        self.lev: Optional[float] = None
+        if token_matches:
+            self.add_tokens(token_matches)
+
+    def add_tokens(self, token_matches: List[TokenMatch]) -> None:
+        for tmch in token_matches:
+            for pt in tmch.ptoken_tuple():
+                if pt in self.missing:
+                    self.missing.remove(pt)
+        self.token_matches.extend(token_matches)
+        self._update()
+
+    def _update(self) -> None:
+        text_tokens: List[Tok] = []
+        prev: Optional[TokenMatch] = None
+        for m in self.token_matches:
+            if prev is None:
+                text_tokens.extend(m.text_tokens)
+            elif m.text_start == prev.text_start:
+                pass
+            elif m.text_start >= prev.text_end:
+                text_tokens.extend(m.text_tokens)
+            # partially overlapping matches: the reference leaves this case
+            # unimplemented (prints a TODO); tokens are dropped, as there
+            prev = m
+        self.text_tokens = tuple(text_tokens)
+        self.phrase_tokens = tuple(
+            pt for m in self.token_matches for pt in m.ptoken_tuple())
+        first = self.text_tokens[0]
+        last = self.text_tokens[-1]
+        self.text_start = first.char_index
+        self.text_end = last.char_index + len(last.n)
+        self.text_length = self.text_end - self.text_start
+
+    def copy(self) -> "_PartialPhrase":
+        new = _PartialPhrase(self.phrase)
+        new.token_matches = list(self.token_matches)
+        new.missing = list(self.missing)
+        new.text_tokens = self.text_tokens
+        new.phrase_tokens = self.phrase_tokens
+        new.text_start = self.text_start
+        new.text_end = self.text_end
+        new.text_length = self.text_length
+        return new
+
+
+def _tm_ptoken_tuple(self: TokenMatch) -> tuple:
+    return (self.ptoken,)
+
+
+TokenMatch.ptoken_tuple = _tm_ptoken_tuple
+
+
+def _tokenize(text: str) -> List[Tok]:
+    doc_len = len(text)
+    return [
+        Tok(n=string, index=ti, char_index=start,
+            char_end_index=doc_len - (start + len(string) + 1))
+        for ti, (string, start, _end) in enumerate(wordpunct_spans(text))
+    ]
+
+
+def _find_token_matches(tokens: List[Tok], tm: TokenModel) -> List[TokenMatch]:
+    """Per-token probe + partial-token chaining (token_searcher.py:579-730)."""
+    token_matches: List[TokenMatch] = []
+    partials: Dict[str, List[Tok]] = {}
+    cache = tm.vocab_cache
+    for tok in tokens:
+        cached = cache.get(tok.n)
+        if cached is not None:
+            entries = [
+                (pt, mt) for pt, mt in cached
+                if _within_offsets(tm, pt, tok.char_index, tok.char_end_index)
+            ]
+        else:
+            entries = _probe_token(tok.n, tok.char_index, tok.char_end_index,
+                                   tm)
+        for ptoken, mtype in entries:
+            if mtype is MatchType.NONE:
+                continue
+            if mtype is MatchType.FULL:
+                token_matches.append(TokenMatch((tok,), ptoken, mtype))
+            elif mtype is MatchType.PARTIAL_OF_PHRASE_TOKEN:
+                seq = partials.get(ptoken)
+                if seq:
+                    last = seq[-1]
+                    if tok.char_index - (last.char_index + len(last.n)) > 4:
+                        del partials[ptoken]
+                        seq = None
+                if not seq and (tok.n, ptoken) in tm.distractor_pairs:
+                    continue  # single-token distractor pair
+                seq = partials.setdefault(ptoken, [])
+                seq.append(tok)
+                if len(seq) > 1:
+                    first, last = seq[0], seq[-1]
+                    partial_len = last.char_index + len(last.n) - first.char_index
+                    length_diff = partial_len - len(ptoken)
+                    if length_diff > 0 or \
+                            abs(length_diff) <= tm.max_token_length_variance:
+                        token_matches.append(
+                            TokenMatch(tuple(seq), ptoken, mtype))
+                        seq.pop(0)
+            else:  # PARTIAL_OF_TEXT_TOKEN
+                token_matches.append(TokenMatch((tok,), ptoken, mtype))
+        # NB: the reference's end-of-token "emptying" of the partial dict
+        # rebinds a local and is a no-op; partials deliberately persist
+    return token_matches
+
+
+def _chain_partial_phrases(token_matches: List[TokenMatch],
+                           tm: TokenModel) -> Dict[str, List[_PartialPhrase]]:
+    """get_partial_phrases (token_searcher.py:902-1057)."""
+    max_partial_start_offset = 5
+    open_partials: Dict[str, List[_PartialPhrase]] = {}
+    candidates: Dict[str, List[_PartialPhrase]] = {}
+    for tmch in token_matches:
+        for ptoken in tmch.ptoken_tuple():
+            for phrase_name in tm.token_in_phrase.get(ptoken, ()):
+                phrase = tm.phrases[phrase_name]
+                if phrase_name not in open_partials:
+                    offset = tm.min_token_offset[(ptoken, phrase_name)]
+                    if offset < max_partial_start_offset:
+                        open_partials[phrase_name] = [
+                            _PartialPhrase(phrase, [tmch])]
+                else:
+                    added = False
+                    for partial in list(open_partials[phrase_name]):
+                        if tmch.text_start - partial.text_end > tm.max_char_gap:
+                            candidates.setdefault(phrase_name, []).append(partial)
+                            open_partials[phrase_name].remove(partial)
+                            continue
+                        if partial.text_end < tmch.text_start and any(
+                                pt in partial.missing
+                                for pt in tmch.ptoken_tuple()):
+                            partial_copy = partial.copy()
+                            partial_copy.add_tokens([tmch])
+                            if partial_copy.text_length - len(phrase.name) <= \
+                                    tm.max_length_variance:
+                                open_partials[phrase_name].append(partial_copy)
+                                added = True
+                    if not added:
+                        offset = tm.min_token_offset[(ptoken, phrase_name)]
+                        if offset < max_partial_start_offset:
+                            open_partials[phrase_name].append(
+                                _PartialPhrase(phrase, [tmch]))
+    for phrase_name, partials in open_partials.items():
+        candidates.setdefault(phrase_name, []).extend(partials)
+    for phrase_name in candidates:
+        bucket = candidates[phrase_name]
+        phrase = tm.phrases[phrase_name]
+        has_complete = any(not p.missing for p in bucket)
+        kept = []
+        for partial in bucket:
+            if has_complete and partial.missing:
+                continue
+            if abs(partial.text_length - len(phrase.name)) > \
+                    tm.max_length_variance:
+                continue
+            kept.append(partial)
+        candidates[phrase_name] = kept
+    return candidates
+
+
+def find_token_matches(text: str, tm: TokenModel,
+                       text_id: Optional[str] = None) -> List[Match]:
+    """FuzzyTokenSearcher.find_matches (token_searcher.py:813-858)."""
+    tokens = _tokenize(text)
+    token_matches = _find_token_matches(tokens, tm)
+    candidates = _chain_partial_phrases(token_matches, tm)
+
+    # _pick_best_candidates (token_searcher.py:732-811).  The reference
+    # iterates candidate phrases in id-hash set order, so its same-offset
+    # equal-score tie-break is process-dependent; we fix the policy to
+    # longest-phrase-first (its empirically common order, and the more
+    # complete match)
+    at_offset: Dict[int, _PartialPhrase] = {}
+    for phrase_name in sorted(candidates, key=lambda n: (-len(n), n)):
+        for pp in candidates[phrase_name]:
+            full_text_length = pp.text_end - pp.text_start
+            pp.match_string = " ".join(t.n for t in pp.text_tokens)
+            length_diff = abs(len(pp.match_string) - len(pp.phrase.name))
+            if length_diff > tm.max_length_variance:
+                if abs(full_text_length - len(pp.phrase.name)) > \
+                        tm.max_length_variance:
+                    continue
+                if 1 - (length_diff / len(pp.phrase.name)) < \
+                        tm.levenshtein_threshold:
+                    continue
+            pp.lev = S.indel_similarity(pp.phrase.name, pp.match_string,
+                                        score_cutoff=tm.levenshtein_threshold)
+            if pp.lev < tm.levenshtein_threshold:
+                continue
+            cur = at_offset.get(pp.text_start)
+            if cur is None or pp.lev > cur.lev:
+                at_offset[pp.text_start] = pp
+
+    out: List[Match] = []
+    for pp in sorted(at_offset.values(), key=lambda p: p.text_start):
+        tp = pp.phrase
+        if tp.kind == "phrase":
+            main_name, variant_name = tp.name, tp.name
+        elif tp.kind == "variant":
+            main_name, variant_name = tm.is_variant_of[tp.name], tp.name
+        else:
+            continue  # distractor phrases never emit matches
+        label = sorted(tp.label_set) if tp.label_set else None
+        out.append(Match(
+            phrase=main_name, variant=variant_name, string=pp.match_string,
+            offset=pp.text_start, end=pp.text_start + len(pp.match_string),
+            label=label, char_match=None, ngram_match=None,
+            levenshtein_similarity=pp.lev,
+        ))
+    # max-start-offset filter (searcher.py:336-366), on the main phrase
+    return [
+        m for m in out
+        if tm.main_max_start.get(m.phrase, -1) in (-1, None)
+        or tm.main_max_start[m.phrase] >= m.offset
+    ]
