@@ -1,0 +1,165 @@
+"""End-to-end Spark-surface tests: match job, context columns, sinks,
+streaming (availableNow), multimodal plumbing, pipeline ops.
+
+One shared local[4] session; each test drives a real DataFrame action.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from fuzzy_search_spark.fixtures import (
+    README_CONFIG,
+    README_MODEL,
+    write_web_pages_parquet,
+)
+from fuzzy_search_spark.model import compile_model
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from fuzzy_search_spark.spark.session import get_spark
+
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    spark = get_spark(master="local[4]", app_name="surface-tests")
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "web_pages.parquet")
+    write_web_pages_parquet(path, n_bulk=60, tail_docs_per_1k=0)
+    return path
+
+
+@pytest.fixture(scope="module")
+def matches_df(spark, pages_path):
+    from fuzzy_search_spark.spark.job import match_documents
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    df = spark.read.parquet(pages_path)
+    return match_documents(df, model).cache()
+
+
+def test_match_job_golden_rows(matches_df):
+    golden = matches_df.filter(
+        matches_df.url.contains("golden-nl-1")).orderBy("offset").collect()
+    assert [(r.string, r.offset, r.end) for r in golden] == [
+        ("Veucris", 3, 10), ("den 5. Januaris 1725", 11, 31),
+        ("PR&ASIDE", 33, 41), ("PRASENTIEBUS", 63, 75), ("Velters", 322, 329),
+    ]
+
+
+def test_context_columns(spark, pages_path, matches_df):
+    from fuzzy_search_spark.context import attach_context_columns
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(pages_path)
+    ctx = attach_context_columns(matches_df, docs, context_size=10)
+    # NB: ctx.offset would resolve to DataFrame.offset (the method) in
+    # Spark 4 — always address this column via F.col
+    row = ctx.filter(
+        ctx.url.contains("golden-nl-1") & (F.col("offset") == 33)).head()
+    assert row.string == "PR&ASIDE"
+    assert row.context == "ris 1725. PR&ASIDE, Den Heer"
+    assert row.prefix == "ris 1725. "
+    assert row.suffix == ", Den Heer"
+
+
+def test_context_library_matches_spark(spark, pages_path, matches_df):
+    from fuzzy_search_spark.context import find_matches_with_context
+
+    docs = {r.url: r.text for r in spark.read.parquet(pages_path)
+            .filter("url like '%golden-nl-1%'").collect()}
+    model = compile_model(README_MODEL, README_CONFIG)
+    for url, text in docs.items():
+        ctxs = find_matches_with_context(text, model, context_size=10)
+        assert [c["match"].string for c in ctxs][:2] == [
+            "Veucris", "den 5. Januaris 1725"]
+
+
+def test_sinks(matches_df):
+    import json
+
+    from fuzzy_search_spark.sinks import to_match_json, to_web_annotations
+
+    row = to_match_json(matches_df).head()
+    payload = json.loads(row.match_json)
+    assert payload["type"] == "PhraseMatch"
+    assert {"phrase", "variant", "string", "offset", "match_scores"} <= set(payload)
+
+    anno = json.loads(to_web_annotations(matches_df).head().annotation)
+    assert anno["type"] == "Annotation"
+    assert anno["target"]["selector"][0]["type"] == "TextPositionSelector"
+
+
+def test_streaming_available_now(spark, pages_path, tmp_path):
+    from fuzzy_search_spark.streaming import stream_matches
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    # file-source streaming wants a directory of files
+    stream_in = tmp_path / "stream_in"
+    stream_in.mkdir()
+    shutil.copy(pages_path, stream_in / "part-0.parquet")
+    out = str(tmp_path / "stream_out")
+    chk = str(tmp_path / "chk")
+    q = stream_matches(spark, str(stream_in), model, out, chk,
+                       available_now=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first > 0
+    # incremental: a new shard arrives; only its rows are appended
+    shutil.copy(pages_path, stream_in / "part-1.parquet")
+    q2 = stream_matches(spark, str(stream_in), model, out, chk,
+                        available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2 * n_first
+
+
+def test_multimodal_plumbing(spark, pages_path):
+    from fuzzy_search_spark.pipeline.multimodal import (
+        image_features,
+        media_metadata,
+    )
+
+    df = spark.read.parquet(pages_path).selectExpr(
+        "url", "html as payload").limit(20)
+    meta = media_metadata(df).collect()
+    assert all(m.media_type == "application/octet-stream" for m in meta)
+    assert all(len(m.sha256) == 64 and m.n_bytes > 0 for m in meta)
+
+    png = spark.createDataFrame(
+        [("u1", b"\x89PNG\r\n\x1a\n" + b"x" * 64),
+         ("u2", b"\xff\xd8\xff\xe0" + b"y" * 64)],
+        "url string, payload binary")
+    got = {r.url: r for r in media_metadata(png).collect()}
+    assert got["u1"].media_type == "image/png"
+    assert got["u2"].media_type == "image/jpeg"
+
+    feats = image_features(png).collect()
+    assert {(f.height, f.width) for f in feats} == {(16, 16)}
+    assert all(len(f.embedding) == 16 for f in feats)
+    # deterministic fake: same payload -> same features
+    again = image_features(png).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_resume_manifest(spark, pages_path, tmp_path):
+    from fuzzy_search_spark.spark.job import run_extraction_job
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    out = str(tmp_path / "job_out")
+    s1 = run_extraction_job(spark, pages_path, out, model, num_groups=2)
+    assert s1["ran"] == [0, 1]
+    s2 = run_extraction_job(spark, pages_path, out, model, num_groups=2)
+    assert s2["ran"] == [] and s2["skipped"] == [0, 1]
+    # metrics rows exist per group
+    assert sorted(os.listdir(os.path.join(out, "_metrics"))) == [
+        "group=0.json", "group=1.json"]
