@@ -206,6 +206,40 @@ def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_label", "rank")
 
 
+def _vocab_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct words of documents.text plus part.p_name (richer lexicon)."""
+    docs = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"))
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.explode(F.split(F.lower(F.col("p_name")), r"\s+")).alias("term"))
+    return (
+        docs.unionAll(parts).filter(F.length("term") > 0)
+        .distinct()
+    )
+
+
+def q_skipgram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipgramSimilarity top-5 (trigram cosine within a +/-2 length band)."""
+    from fuzzy_search_spark.analysis.similarity import skipgram_similarity_topk
+
+    return skipgram_similarity_topk(_vocab_terms(spark, sf_dir), k=5) \
+        .orderBy("term", "rank")
+
+
+def q_close_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.analysis.similarity import close_term_pairs
+
+    return close_term_pairs(_vocab_terms(spark, sf_dir), max_distance=2) \
+        .orderBy("term_a", "term_b")
+
+
+def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fuzzy_search_spark.analysis.similarity import word_cooccurrence
+
+    return word_cooccurrence(_docs(spark, sf_dir), window=2, min_freq=5) \
+        .orderBy("w1", "w2")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -271,6 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
+        "skipgram_similarity": q_skipgram_similarity,
+        "close_term_pairs": q_close_term_pairs,
+        "word_cooccurrence": q_word_cooccurrence,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
@@ -483,6 +520,77 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "skipgram_similarity": r"""
+            WITH terms AS (
+              SELECT DISTINCT term FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+                UNION ALL
+                SELECT unnest(regexp_split_to_array(lower(p_name), '\s+')) AS term
+                FROM part) u
+              WHERE length(term) > 0
+            ), gc AS (
+              SELECT term, gram, count(*) AS freq FROM (
+                SELECT term,
+                       unnest(CASE WHEN length(term) <= 3 THEN [term]
+                              ELSE [substr(term, i, 3)
+                                    for i in range(1, length(term) - 1)]
+                              END) AS gram
+                FROM terms)
+              GROUP BY term, gram
+            ), norms AS (
+              SELECT term, sqrt(sum(freq * freq)) AS norm FROM gc GROUP BY term
+            ), dots AS (
+              SELECT a.term AS term, b.term AS similar_term,
+                     sum(a.freq * b.freq) AS dot
+              FROM gc a JOIN gc b ON a.gram = b.gram AND a.term <> b.term
+               AND abs(length(a.term) - length(b.term)) <= 2
+              GROUP BY 1, 2
+            ), cos AS (
+              SELECT d.term, d.similar_term,
+                     round(dot / (na.norm * nb.norm), 6) AS cosine
+              FROM dots d
+              JOIN norms na ON d.term = na.term
+              JOIN norms nb ON d.similar_term = nb.term
+            )
+            SELECT term, similar_term, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY term ORDER BY cosine DESC, similar_term) AS rank
+              FROM cos)
+            WHERE rank <= 5 ORDER BY term, rank
+        """,
+        "close_term_pairs": r"""
+            WITH terms AS (
+              SELECT DISTINCT term FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+                UNION ALL
+                SELECT unnest(regexp_split_to_array(lower(p_name), '\s+')) AS term
+                FROM part) u
+              WHERE length(term) > 0
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   levenshtein(a.term, b.term) AS distance
+            FROM terms a JOIN terms b ON a.term < b.term
+            WHERE abs(length(a.term) - length(b.term)) <= 2
+              AND levenshtein(a.term, b.term) <= 2
+            ORDER BY term_a, term_b
+        """,
+        "word_cooccurrence": r"""
+            WITH t AS (
+              SELECT regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), pos AS (
+              SELECT w, unnest(range(1, len(w) + 1)) AS i FROM t
+            ), pairs AS (
+              SELECT w[i] AS w1, unnest(w[i+1:i+2]) AS w2
+              FROM pos WHERE i < len(w)
+            )
+            SELECT w1, w2, count(*) AS freq FROM pairs
+            WHERE length(w1) > 0 AND length(w2) > 0
+            GROUP BY w1, w2 HAVING count(*) >= 5
+            ORDER BY w1, w2
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
