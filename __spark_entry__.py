@@ -54,6 +54,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread over all cores: the sf parquet is one tiny file
+    (one input split), which would serialize the Python-UDF match stage."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -83,7 +90,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fuzzy phrase extraction over the documents table."""
     from fuzzy_search_spark.spark.job import match_documents
 
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs_parallel(spark, sf_dir).withColumn(
         "url", F.col("doc_id").cast("string"))
     out = match_documents(docs, _fuzzy_model())
     return out.select(
@@ -99,7 +106,7 @@ def q_token_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.token_matcher import compile_token_model
 
     tmodel = compile_token_model(FUZZY_MODEL, FUZZY_CONFIG)
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs_parallel(spark, sf_dir).withColumn(
         "url", F.col("doc_id").cast("string"))
     out = match_documents_tokens(docs, tmodel)
     return out.select(
@@ -114,7 +121,7 @@ def q_exact_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checked against a pure-SQL substring counter)."""
     from fuzzy_search_spark.spark.job import match_documents
 
-    docs = _docs(spark, sf_dir).withColumn(
+    docs = _docs_parallel(spark, sf_dir).withColumn(
         "url", F.col("doc_id").cast("string"))
     out = match_documents(docs, _exact_model())
     return (
@@ -179,6 +186,19 @@ def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.analysis.freq import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
+
+
+def q_ngram_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE / Laplace / conditional probabilities for the top bigrams."""
+    from fuzzy_search_spark.analysis.freq import ngram_probabilities
+
+    out = ngram_probabilities(_docs(spark, sf_dir), max_n=2)
+    return (
+        out.filter(F.col("n") == 2)
+        .select("gram", "freq", "p_mle", "p_laplace", "p_conditional",
+                "p_cond_laplace")
+        .orderBy(F.desc("freq"), "gram").limit(100)
+    )
 
 
 def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
+        "ngram_probabilities": q_ngram_probabilities,
         "skipgram_similarity": q_skipgram_similarity,
         "close_term_pairs": q_close_term_pairs,
         "word_cooccurrence": q_word_cooccurrence,
@@ -520,6 +541,36 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ngram_probabilities": r"""
+            WITH words AS (
+              SELECT regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), uni AS (
+              SELECT gram, count(*) AS freq FROM (
+                SELECT unnest(w) AS gram FROM words)
+              WHERE length(gram) > 0 GROUP BY gram
+            ), bi AS (
+              SELECT gram, count(*) AS freq FROM (
+                SELECT unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, greatest(len(w) - 1, 0) + 1)])
+                         AS gram
+                FROM words WHERE len(w) >= 2)
+              WHERE length(gram) > 0 GROUP BY gram
+            ), tot AS (
+              SELECT (SELECT sum(freq) FROM uni) AS t1,
+                     (SELECT sum(freq) FROM bi) AS t2,
+                     (SELECT count(*) FROM uni) AS v
+            )
+            SELECT bi.gram, bi.freq,
+                   round(bi.freq / t2, 9) AS p_mle,
+                   round((bi.freq + 1) / (t2 + v), 9) AS p_laplace,
+                   round(bi.freq / uni.freq, 9) AS p_conditional,
+                   round((bi.freq + 1.0) / (uni.freq + 1.0 * v), 9)
+                     AS p_cond_laplace
+            FROM bi JOIN uni
+              ON uni.gram = split_part(bi.gram, ' ', 1), tot
+            ORDER BY bi.freq DESC, bi.gram LIMIT 100
         """,
         "skipgram_similarity": r"""
             WITH terms AS (

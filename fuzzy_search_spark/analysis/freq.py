@@ -52,6 +52,54 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
             .orderBy(F.desc("freq"), F.col("gram")).limit(k))
 
 
+def ngram_probabilities(df: DataFrame, text_col: str = "text",
+                        max_n: int = 2, smoothing_k: float = 1.0) -> DataFrame:
+    """Per-ngram MLE / add-k (Laplace) / conditional probabilities
+    (reference analysis/freq.py:184-283):
+
+    - ``p_mle``            freq / total ngram tokens of that order
+    - ``p_laplace``        (freq + 1) / (total + unigram vocab size)
+    - ``p_conditional``    freq / freq(head) — the last token given its
+                           preceding tokens (order-1 uses the unigram total)
+    - ``p_cond_laplace``   (freq + k) / (freq(head) + k * vocab)
+    """
+    counts = word_ngram_counts(df, text_col, max_n=max_n)
+    totals = {
+        r["n"]: r["total"]
+        for r in counts.groupBy("n").agg(F.sum("freq").alias("total")).collect()
+    }
+    vocab_size = counts.filter(F.col("n") == 1).count()
+    total_map = F.create_map(*[
+        x for n, t in sorted(totals.items()) for x in (F.lit(n), F.lit(t))
+    ])
+    heads = counts.select(
+        F.col("gram").alias("head"), F.col("freq").alias("head_freq"),
+        (F.col("n") + 1).alias("n"))
+    head_expr = F.when(
+        F.col("n") == 1, F.lit(totals.get(1, 0))
+    ).otherwise(F.col("head_freq"))
+    head_key = F.when(
+        F.col("n") > 1,
+        F.expr("array_join(slice(split(gram, ' '), 1, n - 1), ' ')"),
+    )
+    joined = (
+        counts.withColumn("head", head_key)
+        .join(heads, ["head", "n"], "left")
+        .withColumn("order_total", total_map[F.col("n")])
+    )
+    k = F.lit(float(smoothing_k))
+    return joined.select(
+        "n", "gram", "freq",
+        F.round(F.col("freq") / F.col("order_total"), 9).alias("p_mle"),
+        F.round((F.col("freq") + 1) / (F.col("order_total") + vocab_size), 9)
+        .alias("p_laplace"),
+        F.round(F.when(head_expr > 0, F.col("freq") / head_expr)
+                .otherwise(F.lit(0.0)), 9).alias("p_conditional"),
+        F.round((F.col("freq") + k) / (head_expr + k * vocab_size), 9)
+        .alias("p_cond_laplace"),
+    )
+
+
 def log_likelihood_ratio(target: DataFrame, reference: DataFrame,
                          text_col: str = "text", n: int = 1,
                          min_freq: int = 5) -> DataFrame:

@@ -1,0 +1,83 @@
+"""Analysis-layer tests: BPE differential vs the reference trainer,
+frequency/LLR math, and skipgram-similarity brute-force equivalence."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from fuzzy_search_spark.analysis.subtoken import encode_bpe, train_bpe
+from tests.oracle import _ensure_paths, reference_available
+
+
+class TestBPE:
+    def test_textbook_example(self):
+        # classic BPE walkthrough: low/lower/newest/widest
+        counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        vocab, merges = train_bpe(counts, 10)
+        assert merges[0] in {("e", "s"), ("s", "t")} or merges[0][1] == " "
+        assert "est" in vocab or "est " in vocab
+
+    def test_merges_deterministic(self):
+        counts = {"aaab": 3, "aab": 2, "abab": 4}
+        v1, m1 = train_bpe(counts, 8)
+        v2, m2 = train_bpe(counts, 8)
+        assert (v1, m1) == (v2, m2)
+
+    def test_encode_roundtrip(self):
+        counts = {"testing": 4, "test": 6, "resting": 3}
+        _vocab, merges = train_bpe(counts, 12)
+        segs = encode_bpe("testing", merges)
+        assert "".join(segs) == "testing "
+
+    @pytest.mark.skipif(not reference_available(), reason="no reference")
+    def test_differential_vs_reference(self):
+        _ensure_paths()
+        from fuzzy_search.analysis.subtoken import make_byte_pair_encoding
+
+        # tie-free inputs: no two pairs share (frequency, combined length)
+        # at any step (the reference breaks such ties in set order)
+        tokens = (["abc"] * 8 + ["abd"] * 5 + ["bcd"] * 2)
+        for k in (1, 2, 3, 4):
+            ref_vocab = make_byte_pair_encoding(list(tokens), k)
+            vocab, _merges = train_bpe(Counter(tokens), k)
+            assert vocab == ref_vocab, k
+
+
+class TestSkipgramSimilarityBruteForce:
+    @pytest.mark.spark
+    def test_matches_numpy_cosine(self):
+        import numpy as np
+
+        from fuzzy_search_spark.analysis.similarity import (
+            skipgram_similarity_topk,
+        )
+        from fuzzy_search_spark.kernels.skipgrams import iter_skipgrams
+        from fuzzy_search_spark.spark.session import get_spark
+
+        terms = ["molten", "molted", "malted", "salted", "salten",
+                 "pinkish", "pinkist", "blush", "plush"]
+        spark = get_spark(master="local[2]", app_name="sim-brute")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            df = spark.createDataFrame([(t,) for t in terms], "term string")
+            got = {(r.term, r.similar_term): r.cosine
+                   for r in skipgram_similarity_topk(df, k=10).collect()}
+        finally:
+            spark.stop()
+
+        def vec(t):
+            return Counter(g for g, _, _ in iter_skipgrams(t, 3, 0))
+
+        for a in terms:
+            for b in terms:
+                if a == b or abs(len(a) - len(b)) > 2:
+                    continue
+                va, vb = vec(a), vec(b)
+                dot = sum(va[g] * vb[g] for g in va)
+                if dot == 0:
+                    assert (a, b) not in got
+                    continue
+                norm = math.sqrt(sum(v * v for v in va.values())) * \
+                    math.sqrt(sum(v * v for v in vb.values()))
+                assert got[(a, b)] == pytest.approx(dot / norm, abs=1e-6), (a, b)
