@@ -260,6 +260,17 @@ def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("w1", "w2")
 
 
+def q_spelling_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency change levels between the en and non-en corpora
+    (SpellingCompare's classification stage)."""
+    from fuzzy_search_spark.analysis.spelling import frequency_change
+
+    docs = _docs(spark, sf_dir)
+    out = frequency_change(docs.filter(F.col("lang") == "en"),
+                           docs.filter(F.col("lang") != "en"), min_freq=5)
+    return out.orderBy("word")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -329,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_similarity": q_skipgram_similarity,
         "close_term_pairs": q_close_term_pairs,
         "word_cooccurrence": q_word_cooccurrence,
+        "spelling_changes": q_spelling_changes,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
@@ -642,6 +654,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(w1) > 0 AND length(w2) > 0
             GROUP BY w1, w2 HAVING count(*) >= 5
             ORDER BY w1, w2
+        """,
+        "spelling_changes": r"""
+            WITH w1 AS (
+              SELECT word, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+                FROM documents WHERE lang = 'en') u
+              WHERE length(word) > 0 GROUP BY word
+            ), w2 AS (
+              SELECT word, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+                FROM documents WHERE lang <> 'en') u
+              WHERE length(word) > 0 GROUP BY word
+            ), tot AS (
+              SELECT (SELECT sum(freq) FROM w1)::double AS t1,
+                     (SELECT sum(freq) FROM w2)::double AS t2
+            ), j AS (
+              SELECT coalesce(w1.word, w2.word) AS word,
+                     coalesce(w1.freq, 0) AS freq_1,
+                     coalesce(w2.freq, 0) AS freq_2,
+                     coalesce(w1.freq, 0) / t1 AS frac_1,
+                     coalesce(w2.freq, 0) / t2 AS frac_2
+              FROM w1 FULL OUTER JOIN w2 ON w1.word = w2.word, tot
+              WHERE coalesce(w1.freq, 0) >= 5 OR coalesce(w2.freq, 0) >= 5
+            )
+            SELECT word, freq_1, freq_2,
+                   round(frac_1, 9) AS frac_1,
+                   round(frac_2, 9) AS frac_2,
+                   round(CASE WHEN frac_2 > 0
+                              THEN (frac_1 - frac_2) / frac_2 END, 6)
+                     AS pct_diff_1,
+                   round(CASE WHEN frac_1 > 0
+                              THEN (frac_2 - frac_1) / frac_1 END, 6)
+                     AS pct_diff_2,
+                   CASE
+                     WHEN (frac_2 = 0 AND frac_1 > 0)
+                       OR (frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 5.0)
+                       THEN 'disappear'
+                     WHEN frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 0.5
+                       THEN 'decrease'
+                     WHEN (frac_1 = 0 AND frac_2 > 0)
+                       OR (frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 5.0)
+                       THEN 'emerge'
+                     WHEN frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 0.5
+                       THEN 'increase'
+                     ELSE 'stable'
+                   END AS change_level
+            FROM j ORDER BY word
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
