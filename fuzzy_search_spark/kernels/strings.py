@@ -20,7 +20,7 @@ tests/):
 
 from __future__ import annotations
 
-from collections import Counter
+
 from functools import lru_cache
 from typing import List, Optional
 
@@ -41,11 +41,23 @@ def char_ngrams(text: str, n: int) -> List[str]:
     return [padded[i:i + n] for i in range(len(padded) - n + 1)]
 
 
+def _multiset_overlap(items1, items2) -> int:
+    """Sum of per-key minimum counts (hot path: plain dicts beat Counter)."""
+    bag = {}
+    for item in items1:
+        bag[item] = bag.get(item, 0) + 1
+    overlap = 0
+    for item in items2:
+        remaining = bag.get(item, 0)
+        if remaining:
+            bag[item] = remaining - 1
+            overlap += 1
+    return overlap
+
+
 def ngram_overlap(term1: str, term2: str, n: int) -> int:
     """Multiset overlap of the two terms' padded n-gram bags."""
-    bag1 = Counter(char_ngrams(term1, n))
-    bag2 = Counter(char_ngrams(term2, n))
-    return sum((bag1 & bag2).values())
+    return _multiset_overlap(char_ngrams(term1, n), char_ngrams(term2, n))
 
 
 def ngram_overlap_ratio(term1: str, term2: str, n: int) -> float:
@@ -55,9 +67,7 @@ def ngram_overlap_ratio(term1: str, term2: str, n: int) -> float:
 
 def char_overlap(term1: str, term2: str) -> int:
     """Multiset overlap of the two terms' character bags."""
-    bag1 = Counter(term1)
-    bag2 = Counter(term2)
-    return sum((bag1 & bag2).values())
+    return _multiset_overlap(term1, term2)
 
 
 def char_overlap_ratio(term1: str, term2: str) -> float:

@@ -733,3 +733,44 @@ def find_matches(text: str, model: CompiledModel,
     # 13: deterministic per-document order
     combined.sort(key=lambda m: (m.offset, m.end))
     return combined
+
+
+def find_matches_chunked(text: str, model: CompiledModel,
+                         chunk_chars: int = 200_000,
+                         text_id: Optional[str] = None) -> List[Match]:
+    """Giant-document matching in bounded-memory chunks, exact w.r.t.
+    whole-document matching.
+
+    Chunks overlap bilaterally by more than the widest decision
+    neighborhood (candidate window + boundary snap + gram gap), and each
+    match is accepted from exactly the chunk whose core region contains its
+    start offset — so every emitted match was decided with the same local
+    context as the whole-document run.  Models with max_start/max_end
+    offsets depend on absolute document position and cannot be chunked.
+    """
+    if len(text) <= chunk_chars:
+        return find_matches(text, model, text_id)
+    searchables = list(model.phrases.values()) + list(model.variants.values())
+    if any(cp.max_start_offset >= 0 or cp.max_end_offset >= 0
+           for cp in searchables):
+        raise ValueError("chunked matching is incompatible with "
+                         "max_start_offset/max_end_offset phrases")
+    cfg = model.config
+    max_len = max(len(cp.name) for cp in searchables)
+    overlap = 2 * (max_len + cfg.max_length_variance) + \
+        cfg.ngram_size + cfg.skip_size + 16
+    stride = max(chunk_chars - 2 * overlap, overlap)
+    out: List[Match] = []
+    core_start = 0
+    while core_start < len(text):
+        core_end = min(core_start + stride, len(text))
+        lo = max(core_start - overlap, 0)
+        hi = min(core_end + overlap, len(text))
+        for m in find_matches(text[lo:hi], model):
+            offset = m.offset + lo
+            if core_start <= offset < core_end:
+                m.offset = offset
+                m.end += lo
+                out.append(m)
+        core_start = core_end
+    return out

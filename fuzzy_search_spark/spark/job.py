@@ -106,13 +106,18 @@ def salt_by_url(df: DataFrame, num_partitions: int,
 def match_documents(df: DataFrame, model: CompiledModel,
                     url_col: str = "url", text_col: str = "text",
                     html_col: Optional[str] = None,
+                    chunk_chars: Optional[int] = None,
                     metrics_acc=None) -> DataFrame:
     """Run the fuzzy-match pipeline over a documents DataFrame.
 
     Returns the exploded matches table (MATCH_SCHEMA).  When ``html_col`` is
     given, rows with NULL ``text_col`` are extracted from html in the same
-    pass (no extra stage).
+    pass (no extra stage).  ``chunk_chars`` bounds per-document memory for
+    giant documents via exactness-preserving chunked matching
+    (matcher.find_matches_chunked).
     """
+    from fuzzy_search_spark.matcher import find_matches_chunked
+
     sc = df.sparkSession.sparkContext
     bc_model = sc.broadcast(model)
     ignorecase = model.config.ignorecase
@@ -136,7 +141,12 @@ def match_documents(df: DataFrame, model: CompiledModel,
                     continue
                 docs += 1
                 chars += len(text)
-                for m in find_matches(text, compiled):
+                if chunk_chars and len(text) > chunk_chars:
+                    doc_matches = find_matches_chunked(text, compiled,
+                                                       chunk_chars)
+                else:
+                    doc_matches = find_matches(text, compiled)
+                for m in doc_matches:
                     matched += 1
                     out["url"].append(url)
                     out["phrase"].append(m.phrase)
