@@ -186,9 +186,13 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
 
     This is the hottest loop at web scale, so the partial-candidate state
     machine (the reference's CandidatePartial, candidate_match.py:92-329)
-    is inlined into local variables — semantics are pinned by the
-    differential parity suite against the reference library.
+    is inlined and expressed as a two-pointer window over ``grams``: all
+    pointer movements (front evictions, shift_start pops) are monotone, so
+    the sweep is O(n) with no list mutation.  Semantics are pinned by the
+    differential parity suite and tests/test_sweep_equivalence.py.
     """
+    if not grams:
+        return []
     candidates: List[_Candidate] = []
     early = cp.early
     late = cp.late
@@ -201,66 +205,73 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
     gram_set_size = len(cp.gram_set)  # overlap compared as a ratio, same
     last = len(grams) - 1             # float expression as the reference
 
-    # partial state (glist: gram occurrences, gset: distinct keys,
-    # gcount: key multiplicities incl. zeros after eviction — the
-    # count-overlap score depends on those zeros staying present)
-    glist: List[Tuple] = []
+    # window state: the partial is grams[h..ci] (empty when h > ci);
+    # gcount keeps zero-count entries after eviction — the count-overlap
+    # score depends on those zeros staying present
+    h = 0
     gset: set = set()
     gcount: Dict = {}
     cdiff = 0  # running sum of |count - phrase_freq| over touched keys
     start: Optional[int] = -1
     end = -1
+    ci = 0
+
+    def pop_front() -> None:
+        nonlocal h, cdiff
+        k0 = grams[h][0]
+        h += 1
+        c0 = gcount[k0] - 1
+        gcount[k0] = c0
+        cdiff += abs(c0 - freq.get(k0, 0)) - abs(c0 + 1 - freq.get(k0, 0))
+        if c0 == 0:
+            gset.discard(k0)
 
     def emit() -> None:
         # finalize the current partial as a candidate (dup-suppressed
         # against the last emission), then optionally re-anchor the start
         # on a later gram and emit the shifted candidate as well
-        nonlocal start, cdiff
+        nonlocal start
         if start == end:
             return  # zero-width span: the reference would raise here
         if not candidates or not (candidates[-1].start == start
                                   and candidates[-1].end == end):
             candidates.append(_Candidate(cp, start, end, text[start:end],
-                                         (len(glist) - cdiff) / num_grams))
+                                         (ci - h + 1 - cdiff) / num_grams))
         # shift_start (reference candidate_match.py:173-204)
         if end - start > name_len:
-            anchor_key, anchor_start, _ = glist[0]
-            best_po = first_off[anchor_key]
+            anchor_start = grams[h][1]
+            best_po = first_off[grams[h][0]]
             best_idx = 0
             best_start = anchor_start
             slack = (end - start) - name_len
-            for si, (k2, s2, _l2) in enumerate(glist):
+            for si in range(h, ci + 1):
+                k2, s2, _l2 = grams[si]
                 if s2 - anchor_start > slack:
                     break  # a later start would leave the match too short
                 po = first_off[k2]
                 if s2 > best_start and po <= best_po:
-                    best_idx, best_start, best_po = si, s2, po
+                    best_idx, best_start, best_po = si - h, s2, po
                 if k2 not in early:
                     break
             for _ in range(best_idx):
-                k0 = glist[0][0]
-                del glist[0]
-                c0 = gcount[k0] - 1
-                gcount[k0] = c0
-                f0 = freq.get(k0, 0)
-                cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
-                if c0 == 0:
-                    gset.discard(k0)
-            k0, s0, _ = glist[0]
+                pop_front()
+            k0, s0, _ = grams[h]
             off = s0 - first_off[k0]
             start = 0 if off < 0 else off
             if best_idx > 0 and start != end:
                 candidates.append(_Candidate(cp, start, end, text[start:end],
-                                             (len(glist) - cdiff) / num_grams))
+                                             (ci - h + 1 - cdiff) / num_grams))
 
     for ci, gram in enumerate(grams):
         key = gram[0]
-        if not glist:
-            # an empty partial only opens on an early gram — but a fully
+        # the window before adding gram ci is grams[h..ci-1]: empty iff h >= ci
+        if h >= ci:
+            # empty partial: it only opens on an early gram — but a fully
             # evicted partial still carries zero-count gcount entries that
             # feed the count-overlap score, so the gap reset must still
             # fire before skipping
             if key not in early:
+                h = ci + 1  # stays empty at the next index
                 if gcount and ci < last:
                     ns = grams[ci + 1][1]
                     if ns and ns - gram[1] > gap_limit:
@@ -270,11 +281,11 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
                         start = -1
                         end = -1
                 continue
+            h = ci  # the window opens on this gram
         # --- add the gram (reference add_skip_match) ---
         gset.add(key)
-        glist.append(gram)
         if start is None or start < 0:
-            k0, s0, _ = glist[0]
+            k0, s0, _ = grams[h]
             off = s0 - first_off[k0]
             start = 0 if off < 0 else off
         gram_end = gram[1] + gram[2]
@@ -291,60 +302,46 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
             gcount[key] = c_old + 1
             cdiff += abs(c_old + 1 - f_new) - abs(c_old - f_new)
         # evict from the front while the span is too long for the phrase
-        while glist and end - start > max_len:
-            k0 = glist[0][0]
-            del glist[0]
-            c0 = gcount[k0] - 1
-            gcount[k0] = c0
-            f0 = freq.get(k0, 0)
-            cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
-            if c0 == 0:
-                gset.discard(k0)
-            if glist:
-                kf, sf, _ = glist[0]
+        while h <= ci and end - start > max_len:
+            pop_front()
+            if h <= ci:
+                kf, sf, _ = grams[h]
                 off = sf - first_off[kf]
                 start = 0 if off < 0 else off
             else:
                 start = None
                 break
         # ... and while the front gram can no longer start a match
-        while glist and glist[0][0] not in early:
-            k0 = glist[0][0]
-            del glist[0]
-            c0 = gcount[k0] - 1
-            gcount[k0] = c0
-            f0 = freq.get(k0, 0)
-            cdiff += abs(c0 - f0) - abs(c0 + 1 - f0)
-            if c0 == 0:
-                gset.discard(k0)
-            if glist:
-                kf, sf, _ = glist[0]
+        while h <= ci and grams[h][0] not in early:
+            pop_front()
+            if h <= ci:
+                kf, sf, _ = grams[h]
                 off = sf - first_off[kf]
                 start = 0 if off < 0 else off
             else:
                 start = None
         # --- is_match (reference candidate_match.py:234-269) ---
-        if glist and glist[0][0] in early:
+        if h <= ci and grams[h][0] in early:
             span = end - start
             if (span <= max_len and span >= low_len
-                    and glist[-1][0] in late
+                    and grams[ci][0] in late
                     and len(gset) / gram_set_size >= skipgram_threshold):
                 emit()
         next_start = grams[ci + 1][1] if ci < last else None
         if next_start and next_start - gram[1] > gap_limit:
             # the gap to the next matched gram exceeds a whole skipgram:
             # it cannot belong to this candidate
-            glist = []
+            h = ci + 1
             gset = set()
             gcount = {}
             cdiff = 0
             start = -1
             end = -1
     # end of gram stream: check the remaining partial
-    if glist and glist[0][0] in early:
+    if h <= last and grams[h][0] in early:
         span = end - start
         if (span <= max_len and span >= low_len
-                and glist[-1][0] in late
+                and grams[last][0] in late
                 and len(gset) / gram_set_size >= skipgram_threshold):
             emit()
     return candidates
