@@ -163,3 +163,20 @@ def test_resume_manifest(spark, pages_path, tmp_path):
     # metrics rows exist per group
     assert sorted(os.listdir(os.path.join(out, "_metrics"))) == [
         "group=0.json", "group=1.json"]
+
+
+def test_resume_fingerprint_drift(spark, pages_path, tmp_path):
+    """A config change must invalidate committed groups (new fingerprint)."""
+    from fuzzy_search_spark.spark.job import run_extraction_job
+
+    out = str(tmp_path / "drift_out")
+    m1 = compile_model(README_MODEL, README_CONFIG)
+    s1 = run_extraction_job(spark, pages_path, out, m1, num_groups=2)
+    assert s1["ran"] == [0, 1]
+    changed = dict(README_CONFIG, levenshtein_threshold=0.8)
+    m2 = compile_model(README_MODEL, changed)
+    s2 = run_extraction_job(spark, pages_path, out, m2, num_groups=2)
+    assert s2["ran"] == [0, 1] and s2["skipped"] == []
+    # and the original model still resumes cleanly
+    s3 = run_extraction_job(spark, pages_path, out, m1, num_groups=2)
+    assert s3["ran"] == [] and s3["skipped"] == [0, 1]

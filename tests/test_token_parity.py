@@ -136,3 +136,31 @@ class TestTokenSearcherParity:
                 diffs += 1
                 assert_tie_equivalent(eng, ref, text)
         assert exact >= 120, f"{exact}/150 exact, {diffs} tolerated"
+
+
+def test_max_offset_models_parity():
+    phrases = [{"phrase": "test", "max_start_offset": 1},
+               {"phrase": "document", "max_end_offset": 25},
+               {"phrase": "case"}]
+    searcher = make_reference_token_searcher(phrases)
+    tm = compile_token_model(phrases)
+    texts = [
+        "test it now", "now test it", "a document for a test",
+        "this very long sentence puts the document word far beyond limits",
+        "document first then case", "case document test",
+        "tes t of partial tokens near documen t limits",
+    ]
+    for text in texts:
+        assert eng_matches(tm, text) == ref_matches(searcher, text), text
+
+
+def test_user_vocabulary_parity():
+    phrases = ["Zijne Hoogheid", "Mogende Heeren"]
+    vocab = ["Mogende", "Hoogheid", "Heeren"]
+    searcher = make_reference_token_searcher(phrases, vocabulary=vocab)
+    tm = compile_token_model(phrases, vocabulary=vocab)
+    texts = ["Zijne Hoogheid de Mogende Heeren", "Hoogheid Mogende",
+             "Zijne Hooghied was daar", "Mogende Heeren vergaderden"]
+    for text in texts:
+        assert_tie_equivalent(eng_matches(tm, text),
+                              ref_matches(searcher, text), text)
