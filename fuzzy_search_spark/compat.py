@@ -1,0 +1,194 @@
+"""Drop-in compatibility facade over the reference library's public API.
+
+A user of `fuzzy_search` can switch imports and keep their code:
+
+    from fuzzy_search_spark.compat import FuzzyPhraseSearcher
+    searcher = FuzzyPhraseSearcher(phrase_list=[...], config={...})
+    for m in searcher.find_matches({'text': ..., 'id': ...}):
+        print(m.phrase.phrase_string, m.string, m.offset, m.levenshtein_similarity)
+
+The facade exposes the reference's constructor shapes, `find_matches` /
+`search_text` entry points and PhraseMatch-style result objects (phrase /
+variant wrappers with `.phrase_string`, `.string`, `.offset`, `.end`,
+`.label`, the three scores, and `.json()`), backed by this engine's
+compiled models and kernels.  For cluster-scale use, the same models feed
+`spark.job.match_documents` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+from fuzzy_search_spark.matcher import Match, find_matches
+from fuzzy_search_spark.model import CompiledModel, compile_model
+from fuzzy_search_spark.token_matcher import (
+    TokenModel,
+    compile_token_model,
+    find_token_matches,
+)
+
+
+class PhraseWrapper:
+    """Minimal stand-in for the reference's Phrase objects on results."""
+
+    __slots__ = ("phrase_string", "label")
+
+    def __init__(self, phrase_string: str, label=None):
+        self.phrase_string = phrase_string
+        self.label = label
+
+    def __repr__(self):
+        return f"Phrase({self.phrase_string!r})"
+
+
+class PhraseMatchResult:
+    """Reference PhraseMatch-shaped result (phrase_match.py:56-152)."""
+
+    def __init__(self, m: Match, text_id: Optional[str], ignorecase: bool):
+        self.phrase = PhraseWrapper(m.phrase, m.label)
+        self.variant = PhraseWrapper(m.variant, m.label)
+        self.string = m.string
+        self.offset = m.offset
+        self.end = m.end
+        self.label = m.label
+        self.text_id = text_id
+        self.ignorecase = ignorecase
+        self.character_overlap = m.char_match
+        self.ngram_overlap = m.ngram_match
+        self.levenshtein_similarity = m.levenshtein_similarity
+
+    def __repr__(self):
+        return (f"PhraseMatch(phrase: {self.phrase.phrase_string!r}, "
+                f"variant: {self.variant.phrase_string!r}, "
+                f"string: {self.string!r}, offset: {self.offset}, "
+                f"levenshtein_similarity: {self.levenshtein_similarity})")
+
+    def json(self) -> dict:
+        return {
+            "type": "PhraseMatch",
+            "phrase": self.phrase.phrase_string,
+            "variant": self.variant.phrase_string,
+            "string": self.string,
+            "offset": self.offset,
+            "label": self.label,
+            "ignorecase": self.ignorecase,
+            "text_id": self.text_id,
+            "match_scores": {
+                "char_match": self.character_overlap,
+                "ngram_match": self.ngram_overlap,
+                "levenshtein_similarity": self.levenshtein_similarity,
+            },
+        }
+
+
+def _text_dict(text: Union[str, dict]) -> dict:
+    if isinstance(text, str):
+        return {"text": text, "id": None}
+    return {"text": text["text"], "id": text.get("id")}
+
+
+class FuzzyPhraseSearcher:
+    """Reference FuzzyPhraseSearcher-compatible entry point."""
+
+    def __init__(self, phrase_list: Optional[List] = None,
+                 phrase_model: Optional[List[dict]] = None,
+                 config: Optional[dict] = None):
+        phrases = phrase_list if phrase_list is not None else (phrase_model or [])
+        self.config = config or {}
+        self.model: CompiledModel = compile_model(phrases, config)
+
+    def find_matches(self, text: Union[str, dict],
+                     **_overrides) -> List[PhraseMatchResult]:
+        doc = _text_dict(text)
+        return [
+            PhraseMatchResult(m, doc["id"], self.model.config.ignorecase)
+            for m in find_matches(doc["text"], self.model)
+        ]
+
+
+class FuzzyTokenSearcher:
+    """Reference FuzzyTokenSearcher-compatible entry point."""
+
+    def __init__(self, phrase_list: Optional[List] = None,
+                 phrase_model: Optional[List[dict]] = None,
+                 config: Optional[dict] = None,
+                 vocabulary: Optional[List[str]] = None):
+        phrases = phrase_list if phrase_list is not None else (phrase_model or [])
+        self.model: TokenModel = compile_token_model(phrases, config,
+                                                     vocabulary)
+
+    def find_matches(self, text: Union[str, dict]) -> List[PhraseMatchResult]:
+        doc = _text_dict(text)
+        return [
+            PhraseMatchResult(m, doc["id"], False)
+            for m in find_token_matches(doc["text"], self.model)
+        ]
+
+
+class FuzzyContextSearcher(FuzzyPhraseSearcher):
+    """Reference FuzzyContextSearcher-compatible entry point."""
+
+    def __init__(self, config: Optional[dict] = None, **kwargs):
+        super().__init__(config=config, **kwargs)
+        self.context_size = (config or {}).get("context_size", 100)
+
+    def index_phrase_model(self, phrases: List[dict]) -> None:
+        self.model = compile_model(phrases, self.config)
+
+    def find_matches(self, text: Union[str, dict],
+                     prefix_size: Optional[int] = None,
+                     suffix_size: Optional[int] = None, **_overrides):
+        from fuzzy_search_spark.context import find_matches_with_context
+
+        doc = _text_dict(text)
+        out = []
+        for ctx in find_matches_with_context(
+                doc["text"], self.model, context_size=self.context_size,
+                prefix_size=prefix_size, suffix_size=suffix_size):
+            result = PhraseMatchResult(ctx["match"], doc["id"],
+                                       self.model.config.ignorecase)
+            result.context = ctx["context"]
+            result.context_start = ctx["context_start"]
+            result.context_end = ctx["context_end"]
+            result.prefix = ctx["prefix"]
+            result.suffix = ctx["suffix"]
+            out.append(result)
+        return out
+
+
+class FuzzyTemplateSearcher(FuzzyPhraseSearcher):
+    """Reference FuzzyTemplateSearcher-compatible entry point.
+
+    Takes the phrase model (dicts with labels) plus the template JSON and
+    returns TemplateMatch objects from `search_text`."""
+
+    def __init__(self, phrases: List[dict], template_json: Union[list, dict],
+                 config: Optional[dict] = None, ignore_unknown: bool = True):
+        from fuzzy_search_spark.template import parse_template
+
+        # the reference searches with overlapping matches allowed on this
+        # path (context_searcher.py:70)
+        merged = dict(config or {})
+        merged.setdefault("allow_overlapping_matches", True)
+        super().__init__(phrase_list=phrases, config=merged)
+        labels = set()
+        for p in phrases:
+            label = p.get("label") if isinstance(p, dict) else None
+            if isinstance(label, str):
+                labels.add(label)
+            elif label:
+                labels.update(label)
+        self.template = parse_template(template_json, known_labels=labels,
+                                       ignore_unknown=ignore_unknown)
+
+    def search_text(self, text: Union[str, dict]):
+        from fuzzy_search_spark.template import find_template_matches
+
+        doc = _text_dict(text)
+        matches = find_matches(doc["text"], self.model)
+        return find_template_matches(matches, self.template)
+
+
+def make_searcher(phrases, config=None) -> FuzzyPhraseSearcher:
+    """Reference fuzzy_search.make_searcher equivalent."""
+    return FuzzyPhraseSearcher(phrase_list=phrases, config=config)
