@@ -81,3 +81,41 @@ class TestSkipgramSimilarityBruteForce:
                 norm = math.sqrt(sum(v * v for v in va.values())) * \
                     math.sqrt(sum(v * v for v in vb.values()))
                 assert got[(a, b)] == pytest.approx(dot / norm, abs=1e-6), (a, b)
+
+
+class TestLshAnn:
+    @pytest.mark.spark
+    def test_lsh_results_subset_of_bruteforce(self):
+        import numpy as np
+
+        from fuzzy_search_spark.pipeline.ann import (
+            cosine_topk,
+            lsh_bucket,
+            lsh_topk,
+        )
+        from fuzzy_search_spark.spark.session import get_spark
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((200, 16)).round(4)
+        query = vecs[0].tolist()
+        spark = get_spark(master="local[2]", app_name="lsh-ann")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            df = spark.createDataFrame(
+                [(i, v.tolist()) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<double>")
+            brute = {r.vec_id: r.cosine
+                     for r in cosine_topk(df.filter("vec_id != 0"),
+                                          query, k=200).collect()}
+            approx = lsh_topk(df.filter("vec_id != 0"), query, k=10,
+                              num_planes=4).collect()
+            # every LSH result carries its exact brute-force cosine
+            assert approx, "query bucket unexpectedly empty"
+            for r in approx:
+                assert brute[r.vec_id] == r.cosine
+            # determinism: same seed -> same buckets
+            b1 = {r.vec_id: r.bucket for r in lsh_bucket(df).collect()}
+            b2 = {r.vec_id: r.bucket for r in lsh_bucket(df).collect()}
+            assert b1 == b2
+        finally:
+            spark.stop()
