@@ -177,9 +177,66 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
+    from fuzzy_search_spark.pipeline.dedup import simhash64_portable
+
+    return simhash64_portable(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based SimHash (the JVM-native scale path; rows-only check
+    since xxhash64 is not portable to the oracle engine)."""
     from fuzzy_search_spark.pipeline.dedup import simhash64
 
     return simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-duplicate pairs (the verifier for
+    the MinHash/LSH candidate set)."""
+    from fuzzy_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3,
+                               threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    from fuzzy_search_spark.pipeline.ann import cosine_pairs
+
+    return cosine_pairs(_embeddings(spark, sf_dir),
+                        threshold=0.45).orderBy("id_a", "id_b")
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level metadata over an opaque binary media column
+    (magic-number sniff, size, portable content hash) via mapInPandas."""
+    from fuzzy_search_spark.pipeline.multimodal import (media_metadata,
+                                                        synth_payload)
+
+    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    return (
+        media_metadata(docs)
+        .select("url", "media_type", "n_bytes", "content_md5")
+        .orderBy("url")
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> feature-extract plumbing over image payloads (decode is a
+    deterministic stub; Spark-side schema/batching/UDF shape is real)."""
+    from fuzzy_search_spark.pipeline.multimodal import (image_features,
+                                                        synth_payload)
+
+    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    feats = image_features(docs.filter(F.col("doc_id") % 5 == 0))
+    return feats.select(
+        "url", "media_type", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    ).orderBy("url")
 
 
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_fast": q_simhash_fast,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_metadata": q_media_metadata,
+        "image_features": q_image_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
         "ngram_probabilities": q_ngram_probabilities,
@@ -422,6 +484,55 @@ def oracle_sql() -> dict[str, str]:
             for b in range(4)),
     )
 
+    simhash_bits = 60
+    simhash_votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(simhash_bits))
+    simhash_pack = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(simhash_bits))
+    simhash_sql = rf"""
+        WITH words AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+            FROM documents)
+          WHERE length(word) > 0
+        ), h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+          FROM words
+        ), votes AS (
+          SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({simhash_pack} AS BIGINT) AS simhash
+        FROM votes ORDER BY doc_id
+    """
+
+    ngram_jaccard = """
+        WITH {cte}, sizes AS (
+          SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter JOIN sizes na ON id_a = na.doc_id
+                   JOIN sizes nb ON id_b = nb.doc_id
+        WHERE i / (na.n + nb.n - i) >= 0.5
+        ORDER BY id_a, id_b
+    """.format(cte=shingle_cte)
+
+    media_prefix_case = """CASE doc_id % 5
+             WHEN 0 THEN from_hex('89504E470D0A1A0A')
+             WHEN 1 THEN from_hex('FFD8FFE0')
+             WHEN 2 THEN from_hex('474946383961')
+             WHEN 3 THEN from_hex('524946460000000057415645')
+             ELSE encode('')
+           END"""
+
     return {
         "exact_match_counts": f"""
             WITH phrases(phrase) AS (VALUES {_EXACT_PHRASE_VALUES})
@@ -498,6 +609,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": minhash_sig + " ORDER BY doc_id",
         "minhash_lsh_pairs": lsh_pairs,
+        "simhash": simhash_sql,
+        "ngram_jaccard_pairs": ngram_jaccard,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "media_metadata": f"""
+            WITH p AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, doc_id % 5 AS m,
+                     {media_prefix_case} || encode(text) AS payload
+              FROM documents
+            )
+            SELECT url,
+                   CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                          WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+                          ELSE 'application/octet-stream' END AS media_type,
+                   octet_length(payload) AS n_bytes,
+                   md5(lower(hex(payload))) AS content_md5
+            FROM p ORDER BY url
+        """,
+        "ann_centroid_top5": """
+            WITH dims AS (
+              SELECT unnest(generate_series(1, 64)) AS i
+            ), cent AS (
+              SELECT label AS centroid_label, i,
+                     avg(embedding[i]::DOUBLE) AS c
+              FROM embeddings, dims GROUP BY 1, 2
+            ), centv AS (
+              SELECT centroid_label, list(c ORDER BY i) AS centroid
+              FROM cent GROUP BY 1
+            ), scored AS (
+              SELECT centroid_label, vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[],
+                                                  centroid), 6) AS cosine
+              FROM embeddings, centv
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY centroid_label
+                                           ORDER BY cosine DESC, vec_id)
+                          AS rank
+              FROM scored
+            )
+            SELECT centroid_label, vec_id, cosine, rank FROM ranked
+            WHERE rank <= 5 ORDER BY centroid_label, rank
+        """,
         "ngram_top50": r"""
             WITH words AS (
               SELECT regexp_split_to_array(lower(text), '\s+') AS w

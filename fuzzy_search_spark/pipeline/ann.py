@@ -73,6 +73,29 @@ def pairwise_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     )
 
 
+def cosine_pairs(df: DataFrame, threshold: float = 0.45,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cosine).
+
+    This is the exact all-pairs baseline (the verifier for LSH candidate
+    sets).  At 10^12-row scale run :func:`lsh_bucket` first and feed only
+    within-bucket pairs here — the equi-join on bucket replaces the cross
+    product; this function itself is the correctness anchor."""
+    va = F.col("va").cast("array<double>")
+    vb = F.col("vb").cast("array<double>")
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("id_a", "id_b",
+                F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> List[List[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim)).round(6).tolist()

@@ -130,6 +130,37 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def simhash64_portable(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 60) -> DataFrame:
+    """Engine-portable SimHash: (id, simhash bigint) over 60 bits.
+
+    The word hash is the top 15 hex digits of md5(word) parsed as an
+    integer, so a SQL oracle (DuckDB ``CAST('0x' || substr(md5(w),1,15) AS
+    BIGINT)``) reproduces the exact signature.  Same vote/pack scheme as
+    :func:`simhash64`; use that one when portability is not needed
+    (xxhash64 is JVM-native and ~3x cheaper than md5)."""
+    words = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(
+                      F.split(F.lower(F.col(text_col)), r"\s+")))
+                  .alias("word"))
+        .filter(F.length("word") > 0)
+        .withColumn("h", F.conv(F.substring(F.md5("word"), 1, 15),
+                                16, 10).cast("long"))
+    )
+    bit_votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    voted = words.groupBy(id_col).agg(*bit_votes)
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5) -> DataFrame:

@@ -53,7 +53,34 @@ MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.LongType()),
     T.StructField("sha256", T.StringType()),
+    # md5 of the lowercase hex encoding: reproducible by SQL engines whose
+    # md5() only accepts strings (DuckDB) — the cross-engine content key
+    T.StructField("content_md5", T.StringType()),
 ])
+
+#: deterministic media prefixes used by :func:`synth_payload` (doc_id % 5)
+_SYNTH_PREFIX_HEX = {
+    0: "89504E470D0A1A0A",          # PNG
+    1: "FFD8FFE0",                  # JPEG
+    2: "474946383961",              # GIF89a
+    3: "524946460000000057415645",  # RIFF....WAVE
+}
+
+
+def synth_payload(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Attach a deterministic opaque ``payload: binary`` column.
+
+    The sandbox test tables carry no media bytes, so the multimodal path is
+    exercised over synthetic payloads: a magic-number prefix chosen by
+    ``id % 5`` (the 5th class has no prefix) followed by the UTF-8 text.
+    Pure column expressions — reproducible by any engine."""
+    m = F.col(id_col) % 5
+    prefix = F.lit(b"")
+    for k, hx in _SYNTH_PREFIX_HEX.items():
+        prefix = F.when(m == k, F.unhex(F.lit(hx))).otherwise(prefix)
+    return df.withColumn(
+        "payload", F.concat(prefix, F.encode(F.col(text_col), "UTF-8")))
 
 
 def media_metadata(df: DataFrame, url_col: str = "url",
@@ -69,6 +96,9 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                 "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
                 "sha256": payloads.map(
                     lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    if b is not None else None),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b).hex().encode()).hexdigest()
                     if b is not None else None),
             })
 

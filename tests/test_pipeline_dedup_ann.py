@@ -1,0 +1,134 @@
+"""Unit tests for the newer training-data pipeline ops: portable SimHash,
+n-gram Jaccard near-dup pairs, exact embedding-cosine near-dup pairs, and
+the synthetic-payload multimodal path.
+
+Each test recomputes the expected result with an independent pure-Python
+oracle (hashlib / numpy), mirroring the DuckDB oracles the driver runs.
+"""
+
+import hashlib
+import math
+from itertools import combinations
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    import os
+
+    from fuzzy_search_spark.spark.session import get_spark
+
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    spark = get_spark(master="local[4]", app_name="pipeline-ops-tests")
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "entirely different content with no shared shingles at all"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+def _py_simhash(text: str, bits: int = 60) -> int:
+    words = {w for w in text.lower().split() if w}
+    votes = [0] * bits
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+
+def test_simhash_portable_matches_python(spark):
+    from fuzzy_search_spark.pipeline.dedup import simhash64_portable
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash64_portable(df).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash(text), doc_id
+    # identical text -> identical signature; near-dup -> small hamming dist
+    assert got[1] == got[4]
+    ham = bin(got[1] ^ got[2]).count("1")
+    assert 0 < ham < 20
+
+
+def _py_shingles(text: str, k: int = 3):
+    w = [x for x in text.lower().split()]
+    if len(w) <= k:
+        return {" ".join(w)}
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+def test_ngram_jaccard_matches_python(spark):
+    from fuzzy_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    for (ia, ta), (ib, tb) in combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        inter = len(sa & sb)
+        if inter == 0:
+            assert (ia, ib) not in got
+            continue
+        expect = inter / len(sa | sb)
+        assert got[(ia, ib)] == pytest.approx(expect, abs=1e-6), (ia, ib)
+    assert got[(1, 4)] == 1.0
+
+
+def test_cosine_pairs_matches_python(spark):
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import cosine_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8)).round(4)
+    vecs[7] = vecs[3] + 0.01  # plant one near-duplicate
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_pairs(df, threshold=0.9).collect()}
+
+    expect = {}
+    for a, b in combinations(range(40), 2):
+        c = float(vecs[a] @ vecs[b] /
+                  (math.sqrt(vecs[a] @ vecs[a]) * math.sqrt(vecs[b] @ vecs[b])))
+        if c >= 0.9:
+            expect[(a, b)] = c
+    assert set(got) == set(expect) and (3, 7) in got
+    for pair, c in expect.items():
+        assert got[pair] == pytest.approx(c, abs=1e-6), pair
+
+
+def test_synth_payload_and_media_metadata(spark):
+    from fuzzy_search_spark.pipeline.multimodal import (
+        _SYNTH_PREFIX_HEX,
+        media_metadata,
+        synth_payload,
+    )
+
+    docs = [(i, f"document body number {i}") for i in range(10)]
+    df = synth_payload(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).selectExpr("cast(doc_id as string) as url", "payload")
+    got = {int(r.url): r for r in media_metadata(df).collect()}
+
+    expect_type = {0: "image/png", 1: "image/jpeg", 2: "image/gif",
+                   3: "audio/wav", 4: "application/octet-stream"}
+    for i, text in docs:
+        prefix = bytes.fromhex(_SYNTH_PREFIX_HEX.get(i % 5, ""))
+        payload = prefix + text.encode()
+        r = got[i]
+        assert r.media_type == expect_type[i % 5], i
+        assert r.n_bytes == len(payload)
+        assert r.sha256 == hashlib.sha256(payload).hexdigest()
+        assert r.content_md5 == hashlib.md5(
+            payload.hex().encode()).hexdigest()
