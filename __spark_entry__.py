@@ -453,12 +453,16 @@ def oracle_sql() -> dict[str, str]:
           WHERE length(shingle) > 0
         )"""
 
+    def _h60(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
     minhash_sig = """
         WITH {cte}
         SELECT doc_id, {mins} AS sig_joined
         FROM shingles GROUP BY doc_id
     """.format(cte=shingle_cte, mins=" || '|' || ".join(
-        f"min(md5('{i}:' || shingle))" for i in range(8)))
+        f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')})"
+        for i in range(8)))
 
     lsh_pairs = """
         WITH {cte}, sig AS (""".format(cte=shingle_cte) + """
@@ -476,8 +480,9 @@ def oracle_sql() -> dict[str, str]:
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2 ORDER BY id_a, id_b
     """.format(
-        cols=", ".join(f"min(md5('{i}:' || shingle)) AS h{i}"
-                       for i in range(8)),
+        cols=", ".join(
+            f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')}) AS h{i}"
+            for i in range(8)),
         bands=" UNION ALL ".join(
             "SELECT doc_id, {b} AS band, md5(h{r0} || '|' || h{r1}) AS band_hash "
             "FROM sig".format(b=b, r0=b * 2, r1=b * 2 + 1)

@@ -49,16 +49,26 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _hash60(expr) -> "F.Column":
+    """Portable 60-bit hash of a string column: top 15 hex digits of md5
+    parsed as an integer.  DuckDB equivalent:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 8) -> DataFrame:
-    """MinHash signature per document: (id, sig array<string>).
+    """MinHash signature per document: (id, sig array<long>).
 
-    Hash family h_i(s) = md5(i || ':' || s); the signature component is the
-    lexicographic minimum — portable across engines."""
+    Hash family h_i(s) = hash60(i || ':' || s); the signature component is
+    the numeric minimum.  Numeric (not string) components matter at scale:
+    min(long) aggregates in a mutable hash-agg buffer (HashAggregate),
+    while min(string) falls back to SortAggregate — a per-partition sort
+    of the full shingle stream."""
     shingled = word_shingles(df, id_col, text_col, k)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+        F.min(_hash60(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
         .alias(f"h{i}")
         for i in range(num_hashes)
     ]
@@ -75,7 +85,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, n_bands).
 
     Documents sharing any band (num_hashes/bands rows of the signature)
-    become a candidate pair; n_bands counts how many bands agree."""
+    become a candidate pair; n_bands counts how many bands agree.
+
+    Physical shape: ONE pass — band-explode the signatures, group by
+    (band, band_hash) into buckets, and emit within-bucket pairs by a
+    double explode.  A self-join on (band, band_hash) would recompute the
+    whole shingle->signature pipeline for both join branches; the bucket
+    aggregation shuffles the (tiny) signature rows exactly once on a
+    uniformly-distributed key."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     banded = sig.select(
@@ -91,13 +108,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("pos", "id_a"), "ids")
+        .select("id_a",
+                F.explode(F.slice("ids", F.col("pos") + 2,
+                                  F.size("ids"))).alias("id_b"))
+    )
     return (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
