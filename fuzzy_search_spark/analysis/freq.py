@@ -16,24 +16,43 @@ SENT_START = "<s>"
 SENT_END = "</s>"
 
 
-def word_ngram_counts(df: DataFrame, text_col: str = "text",
-                      max_n: int = 2, pad: bool = False) -> DataFrame:
-    """Counts of word ngrams of every order 1..max_n: (n, gram, freq).
+def _ngram_array(text_col: str, n: int, pad: bool):
+    """Column of all order-n word ngrams of a text column.
 
-    ``pad`` adds the reference's sentence-boundary markers."""
+    Built as a chain of zip_with over shifted views of the word array —
+    one linear pass — rather than a per-index slice+join (which allocates
+    an n-element array per output gram and measures ~4x slower)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     if pad:
         words = F.concat(F.array(F.lit(SENT_START)), words,
                          F.array(F.lit(SENT_END)))
-    grams_per_order = []
-    for n in range(1, max_n + 1):
-        size = F.size(words)
-        idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
-        grams = F.when(size >= n, F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-        ).otherwise(F.array())
-        grams_per_order.append(
-            df.select(F.lit(n).alias("n"), F.explode(grams).alias("gram")))
+    size = F.size(words)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(size - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    if n == 1:
+        return grams
+    # the zip pads the tail with nulls (concat(null) -> null); only the
+    # first size-n+1 entries are real grams
+    return F.when(size >= n,
+                  F.slice(grams, 1, size - (n - 1))).otherwise(F.array())
+
+
+def word_ngram_counts(df: DataFrame, text_col: str = "text",
+                      max_n: int = 2, pad: bool = False,
+                      orders=None) -> DataFrame:
+    """Counts of word ngrams: (n, gram, freq).
+
+    ``orders`` restricts to specific orders (default: every order
+    1..max_n); ``pad`` adds the reference's sentence-boundary markers."""
+    orders = list(orders) if orders is not None else list(range(1, max_n + 1))
+    grams_per_order = [
+        df.select(F.lit(n).alias("n"),
+                  F.explode(_ngram_array(text_col, n, pad)).alias("gram"))
+        for n in orders
+    ]
     exploded = grams_per_order[0]
     for extra in grams_per_order[1:]:
         exploded = exploded.unionAll(extra)
@@ -47,7 +66,7 @@ def word_ngram_counts(df: DataFrame, text_col: str = "text",
 def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
                k: int = 50) -> DataFrame:
     """Top-k ngrams of one order, deterministic order (freq desc, gram)."""
-    counts = word_ngram_counts(df, text_col, max_n=n).filter(F.col("n") == n)
+    counts = word_ngram_counts(df, text_col, orders=[n])
     return (counts.select("gram", "freq")
             .orderBy(F.desc("freq"), F.col("gram")).limit(k))
 
@@ -63,12 +82,15 @@ def ngram_probabilities(df: DataFrame, text_col: str = "text",
                            preceding tokens (order-1 uses the unigram total)
     - ``p_cond_laplace``   (freq + k) / (freq(head) + k * vocab)
     """
-    counts = word_ngram_counts(df, text_col, max_n=max_n)
-    totals = {
-        r["n"]: r["total"]
-        for r in counts.groupBy("n").agg(F.sum("freq").alias("total")).collect()
-    }
-    vocab_size = counts.filter(F.col("n") == 1).count()
+    # persisted: three consumers (order totals, vocab size, the returned
+    # plan) would otherwise each recompute the explode+aggregate pass
+    counts = word_ngram_counts(df, text_col, max_n=max_n).persist()
+    per_order = counts.groupBy("n").agg(
+        F.sum("freq").alias("total"),
+        F.count(F.lit(1)).alias("distinct_grams")).collect()
+    totals = {r["n"]: r["total"] for r in per_order}
+    vocab_size = next(
+        (r["distinct_grams"] for r in per_order if r["n"] == 1), 0)
     total_map = F.create_map(*[
         x for n, t in sorted(totals.items()) for x in (F.lit(n), F.lit(t))
     ])
@@ -106,15 +128,24 @@ def log_likelihood_ratio(target: DataFrame, reference: DataFrame,
     """Contrastive keyword extraction via G2 log-likelihood ratio
     (reference: analysis/freq.py:286-354): positive llr = overused in the
     target corpus, negative = underused."""
-    t = (word_ngram_counts(target, text_col, max_n=n)
-         .filter(F.col("n") == n)
-         .select("gram", F.col("freq").alias("freq_t")))
-    r = (word_ngram_counts(reference, text_col, max_n=n)
-         .filter(F.col("n") == n)
-         .select("gram", F.col("freq").alias("freq_r")))
-    joined = t.join(r, "gram", "outer").fillna(0, ["freq_t", "freq_r"])
-    total_t = joined.agg(F.sum("freq_t")).head()[0] or 0
-    total_r = joined.agg(F.sum("freq_r")).head()[0] or 0
+    flagged = target.select(
+        F.lit(True).alias("_is_t"), F.col(text_col).alias(text_col)
+    ).unionAll(reference.select(
+        F.lit(False).alias("_is_t"), F.col(text_col).alias(text_col)))
+    joined = (
+        flagged.select("_is_t",
+                       F.explode(_ngram_array(text_col, n, False))
+                       .alias("gram"))
+        .filter(F.length("gram") > 0)
+        .groupBy("gram")
+        .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("freq_t"),
+             F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("freq_r"))
+    )
+    # counts are small vs the corpus (distinct grams only) — persist so the
+    # totals action and the returned plan share one explode+aggregate pass
+    joined = joined.persist()
+    total_t, total_r = joined.agg(F.sum("freq_t"), F.sum("freq_r")).head()
+    total_t, total_r = total_t or 0, total_r or 0
     a, b = F.col("freq_t").cast("double"), F.col("freq_r").cast("double")
     ta, tb = F.lit(float(total_t)), F.lit(float(total_r))
     e1 = ta * (a + b) / (ta + tb)

@@ -130,13 +130,21 @@ def word_cooccurrence(df: DataFrame, text_col: str = "text",
     SkipCooccurrence, similarity.py:96-158): (w1, w2, freq) for pairs at
     position distance 1..window."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    pairs = F.flatten(F.transform(
-        words,
-        lambda w, i: F.transform(
-            F.slice(words, i + 2, window),
-            lambda w2: F.struct(w.alias("w1"), w2.alias("w2")),
-        ),
-    ))
+    size = F.size(words)
+    # one zip over a shifted view per distance d — linear, vs the
+    # per-element slice(words, i+2, window) which allocates a window-sized
+    # array for every position
+    per_distance = []
+    for d in range(1, window + 1):
+        shifted = F.slice(words, d + 1, F.greatest(size - d, F.lit(1)))
+        zipped = F.zip_with(
+            words, shifted,
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        # the zip pads the tail with nulls; drop those pairs
+        per_distance.append(
+            F.filter(zipped, lambda s: s.getField("w2").isNotNull()))
+    pairs = (F.concat(*per_distance) if len(per_distance) > 1
+             else per_distance[0])
     return (
         df.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
