@@ -116,6 +116,42 @@ def q_token_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "offset", "end", "phrase")
 
 
+def q_context_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matches with ±40-char context windows attached Spark-natively
+    (substring arithmetic after a join back to documents — no UDF)."""
+    from fuzzy_search_spark.context import attach_context_columns
+    from fuzzy_search_spark.spark.job import match_documents
+
+    docs = _docs_parallel(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    matches = match_documents(docs, _fuzzy_model())
+    out = attach_context_columns(matches, docs, context_size=40)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "phrase", "offset", "end", "prefix", "context", "suffix",
+    ).orderBy("doc_id", "offset", "end", "phrase")
+
+
+def q_template_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document template matching (ordered label groups) over the
+    fuzzy match table via groupBy(url).applyInPandas."""
+    from fuzzy_search_spark.spark.job import match_documents
+    from fuzzy_search_spark.template import match_templates, parse_template
+
+    docs = _docs_parallel(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    matches = match_documents(docs, _fuzzy_model())
+    template = parse_template(["win", "cust"],
+                              known_labels={"win", "cust"})
+    out = match_templates(matches, template)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "template_index", "start", "end", "n_matches",
+        "first_offset", "last_end",
+        F.concat_ws("|", "labels").alias("labels_joined"),
+    ).orderBy("doc_id", "template_index")
+
+
 def q_exact_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring phrase occurrence counts (engine exact-match path,
     cross-checked against a pure-SQL substring counter)."""
@@ -382,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fuzzy_match": q_fuzzy_match,
         "token_fuzzy_match": q_token_fuzzy_match,
+        "context_matches": q_context_matches,
+        "template_matches": q_template_matches,
         "exact_match_counts": q_exact_match_counts,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,

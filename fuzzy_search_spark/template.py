@@ -316,3 +316,58 @@ def find_template_matches(matches: Sequence[Match],
             label_matches=_flatten_label_matches(seq),
         ))
     return out
+
+
+def match_templates(matches_df, template: Template, url_col: str = "url"):
+    """Distributed template matching: per-document sequence alignment over
+    a MATCH_SCHEMA-shaped matches table via groupBy(url).applyInPandas
+    (reference FuzzyTemplateSearcher.find_template_matches,
+    template_searcher.py:569-603, distributed per document).
+
+    The per-document match lists are tiny, so the Arrow round-trip cost is
+    the group shuffle only; template logic itself stays pure Python.
+    Output: one row per TemplateMatch."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .matcher import Match
+
+    schema = T.StructType([
+        T.StructField(url_col, T.StringType()),
+        T.StructField("template_index", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("n_matches", T.IntegerType()),
+        T.StructField("first_offset", T.IntegerType()),
+        T.StructField("last_end", T.IntegerType()),
+        T.StructField("labels", T.ArrayType(T.StringType())),
+    ])
+    out_cols = [f.name for f in schema.fields]
+
+    def per_url(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, grp in pdf.groupby(url_col, sort=False):
+            grp = grp.sort_values(["offset", "end", "phrase"],
+                                  kind="mergesort")
+            matches = [
+                Match(phrase=r.phrase, variant=r.variant, string=r.string,
+                      offset=int(r.offset), end=int(r.end),
+                      label=list(r.label) if r.label is not None else None,
+                      char_match=float(r.char_match),
+                      ngram_match=float(r.ngram_match),
+                      levenshtein_similarity=float(r.levenshtein_similarity))
+                for r in grp.itertuples()
+            ]
+            for ti, tm in enumerate(find_template_matches(matches, template)):
+                pm = tm.phrase_matches
+                labels = sorted({lab for m in pm
+                                 for lab in _label_set(m.label)
+                                 if lab is not None})
+                rows.append((
+                    url, ti, tm.start, tm.end, len(pm),
+                    min((m.offset for m in pm), default=-1),
+                    max((m.end for m in pm), default=-1), labels))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return matches_df.groupBy(url_col).applyInPandas(per_url, schema)

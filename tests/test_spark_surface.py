@@ -180,3 +180,53 @@ def test_resume_fingerprint_drift(spark, pages_path, tmp_path):
     # and the original model still resumes cleanly
     s3 = run_extraction_job(spark, pages_path, out, m1, num_groups=2)
     assert s3["ran"] == [] and s3["skipped"] == [0, 1]
+
+
+def test_template_matching_spark(spark, matches_df):
+    """groupBy(url).applyInPandas template wrapper agrees with the local
+    template engine on every document."""
+    from fuzzy_search_spark.template import (
+        find_template_matches,
+        match_templates,
+        parse_template,
+    )
+    from fuzzy_search_spark.matcher import Match
+
+    labels = {"date", "person"}
+    tpl = parse_template(["date", "person"], known_labels=labels)
+    # give two phrases template labels
+    labeled = matches_df.selectExpr(
+        "url", "phrase", "variant", "string", "offset", "end",
+        "CASE WHEN phrase = 'den .. Januarii 1725' THEN array('date') "
+        "     WHEN phrase IN ('Veneris', 'PRAESIDE') THEN array('person') "
+        "     ELSE label END AS label",
+        "ignorecase", "char_match", "ngram_match", "levenshtein_similarity")
+    got = {}
+    for r in match_templates(labeled, tpl).collect():
+        got.setdefault(r.url, []).append(
+            (r.template_index, r.n_matches, tuple(r.labels)))
+
+    expect = {}
+    for url, rows in _group_rows(labeled.collect()).items():
+        ms = [Match(phrase=x.phrase, variant=x.variant, string=x.string,
+                    offset=x.offset, end=x.end,
+                    label=list(x.label) if x.label is not None else None,
+                    char_match=x.char_match, ngram_match=x.ngram_match,
+                    levenshtein_similarity=x.levenshtein_similarity)
+              for x in sorted(rows, key=lambda m: (m.offset, m.end, m.phrase))]
+        tms = find_template_matches(ms, tpl)
+        if tms:
+            expect[url] = [
+                (i, len(t.phrase_matches),
+                 tuple(sorted({lab for m in t.phrase_matches
+                               for lab in (m.label or [])
+                               if lab is not None})))
+                for i, t in enumerate(tms)]
+    assert got == expect and expect, "spark/local template mismatch"
+
+
+def _group_rows(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.url, []).append(r)
+    return out
