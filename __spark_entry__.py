@@ -303,6 +303,27 @@ def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("llr"), "gram").limit(20)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 30 BPE merges over the corpus token histogram.  The histogram
+    is a distributed groupBy; the merge loop is inherently sequential and
+    tiny, so it runs on the driver (SURVEY §2.7: k iterations x shuffle is
+    the wrong shape for Spark)."""
+    from fuzzy_search_spark.analysis.subtoken import train_bpe
+
+    hist = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+                .alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    _vocab, merges = train_bpe({r["w"]: r["c"] for r in hist}, 30)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, merged string")
+
+
 def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import cosine_topk
 
@@ -441,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "close_term_pairs": q_close_term_pairs,
         "word_cooccurrence": q_word_cooccurrence,
         "spelling_changes": q_spelling_changes,
+        "bpe_merges": q_bpe_merges,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,

@@ -61,3 +61,54 @@ def stream_match_rates(spark: SparkSession, matches_stream: DataFrame,
         .groupBy(F.window("warc_ts", f"{window_seconds} seconds"), "phrase")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def stream_sessionize(events_stream: DataFrame,
+                      gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with an
+    inactivity gap, via applyInPandasWithState (arbitrary per-key state).
+
+    State per user = (last event epoch, session count, event count); each
+    micro-batch folds its (ts-sorted) events into the state and emits the
+    user's running totals.  With a single availableNow batch this equals
+    the batch window-function sessionization (q_events_sessions), which is
+    the equivalence the test suite pins.
+
+    At scale: state lives in the state store keyed by user_id — the
+    shuffle key — so each micro-batch shuffles only its new events, never
+    the history; session history length never affects memory (three
+    numbers per user)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts in rows["ts"]:
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((float(last_ts), int(n_sessions), int(n_events)))
+        yield pd.DataFrame({"user_id": [user_id],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_sessions int, n_events long",
+        stateStructType="last_ts double, n_sessions int, n_events long",
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
