@@ -19,6 +19,7 @@ never reaches such a combination, so golden parity is unaffected.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 from fuzzy_search_spark.kernels.strings import (
@@ -29,8 +30,12 @@ from fuzzy_search_spark.kernels.strings import (
 _WHITESPACE = " \t\n\r"
 
 
+@lru_cache(maxsize=65536)
 def type_map(affix: str, punctuation: str, whitespace_only: bool = False) -> str:
-    """Map each char to 'w' (word) or 's' (separator)."""
+    """Map each char to 'w' (word) or 's' (separator).  Cached: the hot
+    path calls this on <=3-char tails, which repeat heavily across
+    candidates (punctuation is a fixed config string, so the key is
+    small)."""
     if whitespace_only:
         return "".join("s" if c in _WHITESPACE else "w" for c in affix)
     return "".join(

@@ -63,7 +63,7 @@ class Match:
     exact: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class _Candidate:
     phrase: CompiledPhrase
     start: int
@@ -216,13 +216,16 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
     end = -1
     ci = 0
 
+    freq_get = freq.get
+
     def pop_front() -> None:
         nonlocal h, cdiff
         k0 = grams[h][0]
         h += 1
         c0 = gcount[k0] - 1
         gcount[k0] = c0
-        cdiff += abs(c0 - freq.get(k0, 0)) - abs(c0 + 1 - freq.get(k0, 0))
+        # integer counts: |c0-f| - |c0+1-f| is -1 when c0 >= f, else +1
+        cdiff += -1 if c0 >= freq_get(k0, 0) else 1
         if c0 == 0:
             gset.discard(k0)
 
@@ -292,15 +295,16 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
         if gram_end > end:
             end = gram_end
         c_old = gcount.get(key)
-        f_new = freq.get(key, 0)
         if c_old is None:
+            f_new = freq_get(key, 0)
             gcount[key] = 1
-            cdiff += abs(1 - f_new)
+            cdiff += f_new - 1 if f_new >= 1 else 1 - f_new
         else:
             # the key may be present with count 0 (evicted): its |0-f|
-            # contribution must be replaced, not added to
+            # contribution must be replaced, not added to; for integer
+            # counts that delta is +1 when c_old >= f, else -1
             gcount[key] = c_old + 1
-            cdiff += abs(c_old + 1 - f_new) - abs(c_old - f_new)
+            cdiff += 1 if c_old >= freq_get(key, 0) else -1
         # evict from the front while the span is too long for the phrase
         while h <= ci and end - start > max_len:
             pop_front()
