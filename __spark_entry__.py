@@ -212,6 +212,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup composite: MinHash-LSH candidates verified
+    by exact shingle Jaccard (only candidate pairs are scored)."""
+    from fuzzy_search_spark.pipeline.dedup import near_duplicates
+
+    return near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
     from fuzzy_search_spark.pipeline.dedup import simhash64_portable
@@ -449,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_duplicates": q_near_duplicates,
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -524,7 +533,7 @@ def oracle_sql() -> dict[str, str]:
         f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')})"
         for i in range(8)))
 
-    lsh_pairs = """
+    lsh_cte = """
         WITH {cte}, sig AS (""".format(cte=shingle_cte) + """
           SELECT doc_id, {cols}
           FROM shingles GROUP BY doc_id
@@ -532,13 +541,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, band, band_hash FROM (
             {bands}
           )
+        ), cands AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_bands
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               count(*) AS n_bands
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 ORDER BY id_a, id_b
     """.format(
         cols=", ".join(
             f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')}) AS h{i}"
@@ -548,6 +558,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM sig".format(b=b, r0=b * 2, r1=b * 2 + 1)
             for b in range(4)),
     )
+
+    lsh_pairs = lsh_cte + """
+        SELECT id_a, id_b, n_bands FROM cands ORDER BY id_a, id_b
+    """
+
+    near_dups_verified = lsh_cte + """
+        , sizes AS (
+          SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, c.n_bands, count(*) AS i
+          FROM cands c
+          JOIN shingles sa ON sa.doc_id = c.id_a
+          JOIN shingles sb ON sb.doc_id = c.id_b
+                          AND sa.shingle = sb.shingle
+          GROUP BY 1, 2, 3
+        )
+        SELECT id_a, id_b, n_bands,
+               round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter JOIN sizes na ON id_a = na.doc_id
+                   JOIN sizes nb ON id_b = nb.doc_id
+        WHERE i / (na.n + nb.n - i) >= 0.5
+        ORDER BY id_a, id_b
+    """
 
     simhash_bits = 60
     simhash_votes = ", ".join(
@@ -674,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": minhash_sig + " ORDER BY doc_id",
         "minhash_lsh_pairs": lsh_pairs,
+        "near_duplicates": near_dups_verified,
         "simhash": simhash_sql,
         "ngram_jaccard_pairs": ngram_jaccard,
         "embedding_near_dup": """

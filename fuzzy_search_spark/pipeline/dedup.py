@@ -192,6 +192,45 @@ def simhash64_portable(df: DataFrame, id_col: str = "doc_id",
     return voted.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    num_hashes: int = 8, bands: int = 4,
+                    threshold: float = 0.5) -> DataFrame:
+    """The production near-dup shape: MinHash-LSH candidate generation,
+    then exact shingle-Jaccard verification of ONLY the candidate pairs:
+    (id_a, id_b, n_bands, jaccard).
+
+    At 10^12 docs the all-pairs exact join is impossible; LSH reduces the
+    workload to candidate pairs (uniform bucket key, one shuffle) and the
+    verifier joins each side's shingle set back by id — two broadcast-able
+    or shuffle joins on the candidate ids, which are vanishingly few
+    relative to the corpus."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, bands)
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"),
+                     F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"),
+                     F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(sh_a, "id_a").join(sh_b, "id_b")
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy("id_a", "id_b", "n_bands")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard_raw",
+                    F.col("inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", "n_bands",
+                F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5) -> DataFrame:
