@@ -128,6 +128,12 @@ class TokenModel:
     distractor_pairs: Set[Tuple[str, str]]
     vocab_cache: Dict[str, List[Tuple[str, "MatchType"]]] = field(
         default_factory=dict)
+    # per-process memo of raw (offset-free) probes for tokens OUTSIDE the
+    # precomputed vocabulary — the runtime extension of the reference's
+    # vocabulary cache (dictionary-encoding of repeated tokens); bounded
+    # so a pathological distinct-token stream cannot grow without limit
+    runtime_probe_cache: Dict[str, List[Tuple[str, "MatchType"]]] = field(
+        default_factory=dict, compare=False)
 
 
 def _is_distractor(text_token: str, phrase_token: str,
@@ -283,14 +289,24 @@ def _within_offsets(tm: TokenModel, ptoken: str, char_index: int,
     return True
 
 
-def _probe_token(token_n: str, char_index: int, char_end_index: int,
-                 tm: TokenModel,
-                 within_offsets: bool = True) -> List[Tuple[str, MatchType]]:
-    """Fresh skipgram probe of one text token against phrase tokens,
-    returning (phrase_token, match_type) in first-gram-match order."""
+_PROBE_CACHE_MAX = 262144
+
+
+def _probe_token_raw(token_n: str,
+                     tm: TokenModel) -> List[Tuple[str, MatchType]]:
+    """Offset-free skipgram probe of one text token against phrase tokens,
+    memoized per distinct token string.  Both the distractor-pair and the
+    within-offset exclusions are per-ptoken predicates independent of the
+    gram accumulation, so they apply as post-filters (see _probe_token and
+    compile_token_model) and the raw probe caches cleanly — the Spark
+    analog of the reference's vocabulary skipgram-match cache
+    (token_searcher.py:563-577,1095-1122)."""
+    cache = tm.runtime_probe_cache
+    hit = cache.get(token_n)
+    if hit is not None:
+        return hit
     skips = token_skipgrams(token_n, tm.ngram_size, tm.skip_size,
                             tm.pad_token)
-    check_distractors = token_n in tm.vocab_terms
     # per ptoken: [distinct gram set, first (start,len), last (start,len)]
     matched: Dict[str, list] = {}
     for gram, start, length in skips:
@@ -298,11 +314,6 @@ def _probe_token(token_n: str, char_index: int, char_end_index: int,
         if not plist:
             continue
         for ptoken in plist:
-            if check_distractors and (token_n, ptoken) in tm.distractor_pairs:
-                continue
-            if within_offsets and not _within_offsets(
-                    tm, ptoken, char_index, char_end_index):
-                continue
             ent = matched.get(ptoken)
             if ent is None:
                 matched[ptoken] = [{gram}, (start, length), (start, length)]
@@ -314,7 +325,27 @@ def _probe_token(token_n: str, char_index: int, char_end_index: int,
     for ptoken, (gram_set, first, last) in matched.items():
         out.append((ptoken, _match_type(token_n, num_skips, len(gram_set),
                                         first, last, ptoken, tm)))
+    if len(cache) >= _PROBE_CACHE_MAX:
+        cache.clear()
+    cache[token_n] = out
     return out
+
+
+def _probe_token(token_n: str, char_index: int, char_end_index: int,
+                 tm: TokenModel,
+                 within_offsets: bool = True) -> List[Tuple[str, MatchType]]:
+    """Skipgram probe of one text token, (phrase_token, match_type) in
+    first-gram-match order, with the per-occurrence offset filter and the
+    vocabulary distractor-pair filter applied over the memoized raw
+    probe."""
+    raw = _probe_token_raw(token_n, tm)
+    if token_n in tm.vocab_terms and tm.distractor_pairs:
+        raw = [(pt, mt) for pt, mt in raw
+               if (token_n, pt) not in tm.distractor_pairs]
+    if within_offsets and (tm.ptoken_max_start or tm.ptoken_max_end):
+        raw = [(pt, mt) for pt, mt in raw
+               if _within_offsets(tm, pt, char_index, char_end_index)]
+    return raw
 
 
 def _match_type(token_n: str, num_skips: int, num_matched: int,
