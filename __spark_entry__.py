@@ -311,6 +311,45 @@ def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("llr"), "gram").limit(20)
 
 
+def q_spelling_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellingCompare's linking stage: dropped words paired with risen
+    words by skipgram-cosine similarity (the reference links via trained
+    embeddings, spelling_compare.py:200-259; this engine substitutes the
+    deterministic skipgram similarity so results are reproducible and
+    oracle-checkable without an external model)."""
+    from fuzzy_search_spark.analysis.spelling import spelling_shifts
+
+    docs = _docs(spark, sf_dir)
+    # deterministic "later corpus": an er->or spelling drift, so the
+    # drop->jump linking has real work to do (the en/non-en split of this
+    # synthetic corpus is lexically uniform -> all words 'stable')
+    drifted = docs.withColumn("text",
+                              F.regexp_replace(F.col("text"), "er", "or"))
+    out = spelling_shifts(docs, drifted, similarity_threshold=0.3)
+    return out.orderBy("drop_word", "jump_word")
+
+
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Vocabulary (term <-> int id bidirectional map,
+    tokenization/vocabulary.py:8-125) as a deterministic table: ids are
+    dense ranks in lexicographic term order, so the map is reproducible by
+    any engine and stable under re-runs (a requirement the reference's
+    insertion-order ids cannot give a distributed build)."""
+    from pyspark.sql import Window
+
+    terms = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
+                .alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy("term")
+    return terms.select(
+        (F.row_number().over(w) - 1).alias("term_id"), "term", "freq"
+    ).orderBy("term_id")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 30 BPE merges over the corpus token histogram.  The histogram
     is a distributed groupBy; the merge loop is inherently sequential and
@@ -472,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_cooccurrence": q_word_cooccurrence,
         "spelling_changes": q_spelling_changes,
         "bpe_merges": q_bpe_merges,
+        "vocabulary": q_vocabulary,
+        "spelling_links": q_spelling_links,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
@@ -622,6 +663,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE i / (na.n + nb.n - i) >= 0.5
         ORDER BY id_a, id_b
     """.format(cte=shingle_cte)
+
+    def spelling_base_for(text1: str, where1: str,
+                          text2: str, where2: str) -> str:
+        return r"""
+            WITH w1 AS (
+              SELECT word, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower({t1}), '\s+')) AS word
+                FROM documents {f1}) u
+              WHERE length(word) > 0 GROUP BY word
+            ), w2 AS (
+              SELECT word, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower({t2}), '\s+')) AS word
+                FROM documents {f2}) u
+              WHERE length(word) > 0 GROUP BY word
+            ), tot AS (""".format(t1=text1, f1=where1, t2=text2, f2=where2) \
+            + r"""
+              SELECT (SELECT sum(freq) FROM w1)::double AS t1,
+                     (SELECT sum(freq) FROM w2)::double AS t2
+            ), j AS (
+              SELECT coalesce(w1.word, w2.word) AS word,
+                     coalesce(w1.freq, 0) AS freq_1,
+                     coalesce(w2.freq, 0) AS freq_2,
+                     coalesce(w1.freq, 0) / t1 AS frac_1,
+                     coalesce(w2.freq, 0) / t2 AS frac_2
+              FROM w1 FULL OUTER JOIN w2 ON w1.word = w2.word, tot
+              WHERE coalesce(w1.freq, 0) >= 5 OR coalesce(w2.freq, 0) >= 5
+            )
+    """
+
+    spelling_case = r"""CASE
+                     WHEN (frac_2 = 0 AND frac_1 > 0)
+                       OR (frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 5.0)
+                       THEN 'disappear'
+                     WHEN frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 0.5
+                       THEN 'decrease'
+                     WHEN (frac_1 = 0 AND frac_2 > 0)
+                       OR (frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 5.0)
+                       THEN 'emerge'
+                     WHEN frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 0.5
+                       THEN 'increase'
+                     ELSE 'stable'
+                   END"""
 
     media_prefix_case = """CASE doc_id % 5
              WHEN 0 THEN from_hex('89504E470D0A1A0A')
@@ -915,29 +998,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w1, w2 HAVING count(*) >= 5
             ORDER BY w1, w2
         """,
-        "spelling_changes": r"""
-            WITH w1 AS (
-              SELECT word, count(*) AS freq FROM (
-                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-                FROM documents WHERE lang = 'en') u
-              WHERE length(word) > 0 GROUP BY word
-            ), w2 AS (
-              SELECT word, count(*) AS freq FROM (
-                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
-                FROM documents WHERE lang <> 'en') u
-              WHERE length(word) > 0 GROUP BY word
-            ), tot AS (
-              SELECT (SELECT sum(freq) FROM w1)::double AS t1,
-                     (SELECT sum(freq) FROM w2)::double AS t2
-            ), j AS (
-              SELECT coalesce(w1.word, w2.word) AS word,
-                     coalesce(w1.freq, 0) AS freq_1,
-                     coalesce(w2.freq, 0) AS freq_2,
-                     coalesce(w1.freq, 0) / t1 AS frac_1,
-                     coalesce(w2.freq, 0) / t2 AS frac_2
-              FROM w1 FULL OUTER JOIN w2 ON w1.word = w2.word, tot
-              WHERE coalesce(w1.freq, 0) >= 5 OR coalesce(w2.freq, 0) >= 5
-            )
+        "spelling_changes": spelling_base_for(
+            "text", "WHERE lang = 'en'", "text", "WHERE lang <> 'en'") + r"""
             SELECT word, freq_1, freq_2,
                    round(frac_1, 9) AS frac_1,
                    round(frac_2, 9) AS frac_2,
@@ -947,20 +1009,63 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN frac_1 > 0
                               THEN (frac_2 - frac_1) / frac_1 END, 6)
                      AS pct_diff_2,
-                   CASE
-                     WHEN (frac_2 = 0 AND frac_1 > 0)
-                       OR (frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 5.0)
-                       THEN 'disappear'
-                     WHEN frac_2 > 0 AND (frac_1 - frac_2) / frac_2 > 0.5
-                       THEN 'decrease'
-                     WHEN (frac_1 = 0 AND frac_2 > 0)
-                       OR (frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 5.0)
-                       THEN 'emerge'
-                     WHEN frac_1 > 0 AND (frac_2 - frac_1) / frac_1 > 0.5
-                       THEN 'increase'
-                     ELSE 'stable'
-                   END AS change_level
+                   """ + spelling_case + r""" AS change_level
             FROM j ORDER BY word
+        """,
+        "spelling_links": spelling_base_for(
+            "text", "", "replace(text, 'er', 'or')", "") + r"""
+            , cls AS (
+              SELECT word, """ + spelling_case + r""" AS change_level FROM j
+            ), drops AS (
+              SELECT word AS drop_word, change_level AS drop_level FROM cls
+              WHERE change_level IN ('decrease', 'disappear')
+            ), jumps AS (
+              SELECT word AS jump_word, change_level AS jump_level FROM cls
+              WHERE change_level IN ('increase', 'emerge')
+            ), terms AS (
+              SELECT drop_word AS term FROM drops
+              UNION SELECT jump_word FROM jumps
+            ), gc AS (
+              SELECT term, gram, count(*) AS freq FROM (
+                SELECT term,
+                       unnest(CASE WHEN length(term) <= 3 THEN [term]
+                              ELSE [substr(term, i, 3)
+                                    for i in range(1, length(term) - 1)]
+                              END) AS gram
+                FROM terms)
+              GROUP BY term, gram
+            ), norms AS (
+              SELECT term, sqrt(sum(freq * freq)) AS norm
+              FROM gc GROUP BY term
+            ), sims AS (
+              SELECT d.drop_word, jmp.jump_word, d.drop_level,
+                     jmp.jump_level, sum(a.freq * b.freq) AS dot
+              FROM drops d
+              JOIN gc a ON a.term = d.drop_word
+              JOIN gc b ON b.gram = a.gram
+              JOIN jumps jmp ON jmp.jump_word = b.term
+              WHERE abs(length(d.drop_word) - length(jmp.jump_word)) <= 2
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT drop_word, jump_word, drop_level, jump_level,
+                   round(dot / (na.norm * nb.norm), 6) AS similarity,
+                   CASE WHEN drop_level = 'disappear' THEN 'replace'
+                        ELSE 'shift' END AS change_type
+            FROM sims JOIN norms na ON na.term = drop_word
+                      JOIN norms nb ON nb.term = jump_word
+            WHERE round(dot / (na.norm * nb.norm), 6) > 0.3
+            ORDER BY drop_word, jump_word
+        """,
+        "vocabulary": r"""
+            SELECT row_number() OVER (ORDER BY term) - 1 AS term_id,
+                   term, freq
+            FROM (
+              SELECT term, count(*) AS freq FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                         AS term
+                FROM documents) u
+              WHERE length(term) > 0 GROUP BY term
+            ) ORDER BY term_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
