@@ -100,9 +100,10 @@ def run_extract_match(spark, corpus_path: str, out_dir: str,
 def bench_sf_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
-    names = ["fuzzy_match", "exact_match_counts", "token_stats",
-             "minhash_lsh_pairs", "ngram_top50", "ann_cosine_top10",
-             "events_sessions", "llr_keywords"]
+    names = ["fuzzy_match", "token_fuzzy_match", "exact_match_counts",
+             "token_stats", "minhash_lsh_pairs", "near_duplicates",
+             "ngram_top50", "ann_cosine_top10", "events_sessions",
+             "llr_keywords"]
     qmap = entry.queries()
     out = {}
     for name in names:

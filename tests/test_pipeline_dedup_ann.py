@@ -132,3 +132,34 @@ def test_synth_payload_and_media_metadata(spark):
         assert r.sha256 == hashlib.sha256(payload).hexdigest()
         assert r.content_md5 == hashlib.md5(
             payload.hex().encode()).hexdigest()
+
+
+def test_near_duplicates_composite(spark):
+    """LSH candidates + exact-Jaccard verification: every emitted pair
+    must carry the exact Jaccard of its shingle sets, and every
+    high-similarity pair the exact verifier finds among LSH candidates
+    must be present."""
+    from fuzzy_search_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        near_duplicates,
+    )
+
+    docs = DOCS + [
+        (5, "the quick brown fox jumps over the lazy dog today"),
+        (6, "some completely other sentence with words galore here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_bands, r.jaccard)
+           for r in near_duplicates(df, threshold=0.3).collect()}
+    cands = {(r.id_a, r.id_b): r.n_bands
+             for r in minhash_lsh_pairs(df).collect()}
+
+    assert set(got) <= set(cands)
+    for (ia, ib), (n_bands, jac) in got.items():
+        sa = _py_shingles(dict(docs)[ia])
+        sb = _py_shingles(dict(docs)[ib])
+        expect = len(sa & sb) / len(sa | sb)
+        assert jac == pytest.approx(expect, abs=1e-6), (ia, ib)
+        assert n_bands == cands[(ia, ib)]
+    # the exact duplicate pair must survive end to end
+    assert (1, 4) in got and got[(1, 4)][1] == 1.0
