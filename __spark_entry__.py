@@ -311,6 +311,34 @@ def q_llr_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("llr"), "gram").limit(20)
 
 
+_ENTITY_PATTERNS = {
+    "query_subject": {
+        "pattern": r"(?:customer|window|vector) (?:query|table|scan)",
+        "type": "entity"},
+    "pipeline_verb": {
+        "pattern": r"(?:merge|stream|filter) (?:batch|filter|join)",
+        "type": "entity"},
+}
+
+
+def q_regex_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern-library extraction (the reference's fuzzy_patterns
+    combinators, patterns.py) with corpus-appropriate word patterns —
+    non-overlapping regexp_extract_all per pattern, counted per doc."""
+    from fuzzy_search_spark.patterns import extract_patterns
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = extract_patterns(docs, patterns=_ENTITY_PATTERNS)
+    return (
+        out.groupBy(F.col("url").cast("bigint").alias("doc_id"),
+                    "pattern_name", "pattern_type",
+                    F.col("match").alias("match_text"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "pattern_name", "match_text")
+    )
+
+
 def q_spelling_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpellingCompare's linking stage: dropped words paired with risen
     words by skipgram-cosine similarity (the reference links via trained
@@ -513,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "vocabulary": q_vocabulary,
         "spelling_links": q_spelling_links,
+        "regex_entities": q_regex_entities,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
@@ -1056,6 +1085,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(dot / (na.norm * nb.norm), 6) > 0.3
             ORDER BY drop_word, jump_word
         """,
+        "regex_entities": """
+            SELECT doc_id, pattern_name, pattern_type, match_text,
+                   count(*) AS n
+            FROM (
+              {parts}
+            )
+            GROUP BY 1, 2, 3, 4
+            ORDER BY doc_id, pattern_name, match_text
+        """.format(parts=" UNION ALL ".join(
+            "SELECT doc_id, '{name}' AS pattern_name, "
+            "'{ptype}' AS pattern_type, "
+            "unnest(regexp_extract_all(text, '{pat}')) AS match_text "
+            "FROM documents".format(
+                name=name, ptype=spec["type"],
+                pat=spec["pattern"].replace("'", "''"))
+            for name, spec in _ENTITY_PATTERNS.items())),
         "vocabulary": r"""
             SELECT row_number() OVER (ORDER BY term) - 1 AS term_id,
                    term, freq
