@@ -408,6 +408,20 @@ def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10)
 
 
+def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for similarity search: OR-amplified multi-table
+    random-hyperplane LSH (4 tables x 6 planes) restricting the exact
+    cosine ranking to the union of the query's buckets.  Approximate by
+    design -> rows-only check; every returned cosine is exact."""
+    from fuzzy_search_spark.pipeline.ann import lsh_topk_multi
+
+    emb = _embeddings(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return lsh_topk_multi(emb.filter(F.col("vec_id") != 0),
+                          [float(x) for x in query], k=10,
+                          num_planes=6, num_tables=4)
+
+
 def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import pairwise_topk
 
@@ -543,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_links": q_spelling_links,
         "regex_entities": q_regex_entities,
         "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,

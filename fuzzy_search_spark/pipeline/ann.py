@@ -127,3 +127,27 @@ def lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     bucketed = lsh_bucket(df, num_planes, seed, id_col, vec_col)
     return cosine_topk(bucketed.filter(F.col("bucket") == qbucket), query, k,
                        id_col, vec_col)
+
+
+def lsh_topk_multi(df: DataFrame, query: Sequence[float], k: int = 10,
+                   num_planes: int = 8, num_tables: int = 4,
+                   base_seed: int = 7, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """OR-amplified approximate top-k: a vector is a candidate if it shares
+    the query's bucket in ANY of ``num_tables`` independent hash tables
+    (distinct hyperplane seeds).  Recall rises with num_tables while the
+    scored candidate set stays a small union of buckets — the standard
+    multi-table LSH trade-off; still one scan (all tables' buckets compute
+    in the same projection, the filter is a disjunction)."""
+    q = np.asarray(query, dtype=float)
+    out = df
+    cond = None
+    for t in range(num_tables):
+        seed = base_seed + 1000 * t
+        planes = np.asarray(_hyperplanes(len(q), num_planes, seed))
+        qbucket = int(sum(1 << i for i, s in enumerate(planes @ q >= 0) if s))
+        out = lsh_bucket(out, num_planes, seed, id_col, vec_col) \
+            .withColumnRenamed("bucket", f"bucket_{t}")
+        hit = F.col(f"bucket_{t}") == qbucket
+        cond = hit if cond is None else (cond | hit)
+    return cosine_topk(out.filter(cond), query, k, id_col, vec_col)

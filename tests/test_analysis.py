@@ -119,3 +119,48 @@ class TestLshAnn:
             assert b1 == b2
         finally:
             spark.stop()
+
+
+class TestLshMultiTable:
+    @pytest.mark.spark
+    def test_multi_table_recall_dominates_single(self):
+        import numpy as np
+
+        from fuzzy_search_spark.pipeline.ann import (
+            cosine_topk,
+            lsh_topk,
+            lsh_topk_multi,
+        )
+        from fuzzy_search_spark.spark.session import get_spark
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((300, 16)).round(4)
+        # plant a true neighborhood: 12 vectors near the query direction
+        for i in range(1, 13):
+            vecs[i] = (vecs[0] + 0.25 * rng.standard_normal(16)).round(4)
+        query = vecs[0].tolist()
+        spark = get_spark(master="local[2]", app_name="lsh-multi")
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            df = spark.createDataFrame(
+                [(i, v.tolist()) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<double>").filter("vec_id != 0")
+            truth = [r.vec_id for r in cosine_topk(df, query, k=10).collect()]
+            single = {r.vec_id for r in
+                      lsh_topk(df, query, k=10, num_planes=6).collect()}
+            multi = {r.vec_id for r in
+                     lsh_topk_multi(df, query, k=10, num_planes=6,
+                                    num_tables=4).collect()}
+            # every result carries its exact cosine: multi's candidate set
+            # contains the single-table bucket, so recall can only improve
+            recall_single = len(single & set(truth)) / len(truth)
+            recall_multi = len(multi & set(truth)) / len(truth)
+            assert recall_multi >= recall_single
+            assert recall_multi >= 0.8, recall_multi
+            # determinism
+            again = {r.vec_id for r in
+                     lsh_topk_multi(df, query, k=10, num_planes=6,
+                                    num_tables=4).collect()}
+            assert multi == again
+        finally:
+            spark.stop()
