@@ -230,3 +230,26 @@ def _group_rows(rows):
     for r in rows:
         out.setdefault(r.url, []).append(r)
     return out
+
+
+def test_partitioning_invariance(spark, pages_path):
+    """t3 (SURVEY §5.2): per-url results are identical regardless of
+    partition count, url-hash salting, or giant-doc chunking — Spark
+    distribution must never change what a document matches."""
+    from fuzzy_search_spark.spark.job import match_documents, salt_by_url
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    base = spark.read.parquet(pages_path)
+
+    def rows(df, **kw):
+        out = match_documents(df, model, **kw)
+        return sorted(
+            (r.url, r.phrase, r.variant, r.string, r.offset, r.end,
+             r.char_match, r.ngram_match, r.levenshtein_similarity)
+            for r in out.collect())
+
+    expect = rows(base.coalesce(1))
+    assert expect, "fixture produced no matches"
+    assert rows(base.repartition(7)) == expect
+    assert rows(salt_by_url(base, 5)) == expect
+    assert rows(base.repartition(3), chunk_chars=512) == expect
