@@ -201,12 +201,16 @@ def near_duplicates(df: DataFrame, id_col: str = "doc_id",
     (id_a, id_b, n_bands, jaccard).
 
     At 10^12 docs the all-pairs exact join is impossible; LSH reduces the
-    workload to candidate pairs (uniform bucket key, one shuffle) and the
-    verifier joins each side's shingle set back by id — two broadcast-able
-    or shuffle joins on the candidate ids, which are vanishingly few
-    relative to the corpus."""
+    workload to candidate pairs (uniform bucket key, one shuffle), and the
+    verifier re-shingles ONLY documents that appear in some candidate pair
+    — a semi-join first, so the exact-verification pass never touches the
+    vast non-candidate majority of the corpus."""
     cands = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, bands)
-    sh = word_shingles(df, id_col, text_col, k)
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+    sh = word_shingles(df.join(cand_ids, id_col), id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sh_a = sh.select(F.col(id_col).alias("id_a"),
                      F.col("shingle").alias("sh_a"))
