@@ -162,6 +162,16 @@ def levenshtein_distance(s1: str, s2: str) -> int:
 
 
 @lru_cache(maxsize=65536)
+def cached_match_scores(ps: str, ms: str, ngram_size: int):
+    """(char_overlap_ratio, ngram_overlap_ratio, indel_similarity) for a
+    (phrase, candidate-string) pair — the three per-match scores, cached
+    together since candidate strings repeat heavily across documents."""
+    return (char_overlap_ratio(ps, ms),
+            ngram_overlap_ratio(ps, ms, ngram_size),
+            indel_similarity(ps, ms))
+
+
+@lru_cache(maxsize=65536)
 def cached_indel_similarity(s1: str, s2: str) -> float:
     """Memoized indel similarity for (phrase, candidate-string) pairs, which
     repeat heavily across documents within an Arrow batch (the Spark analog

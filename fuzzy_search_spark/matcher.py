@@ -668,6 +668,8 @@ def find_matches(text: str, model: CompiledModel,
         else:
             ms = cand.string
             ps = cand.phrase.name
+        char_m, ngram_m, lev_m = S.cached_match_scores(ps, ms,
+                                                       cfg.ngram_size)
         matches.append(Match(
             phrase=main_cp.name,
             variant=cand.phrase.name,
@@ -675,9 +677,9 @@ def find_matches(text: str, model: CompiledModel,
             offset=cand.start,
             end=cand.start + len(cand.string),
             label=main_cp.label,
-            char_match=S.char_overlap_ratio(ps, ms),
-            ngram_match=S.ngram_overlap_ratio(ps, ms, cfg.ngram_size),
-            levenshtein_similarity=S.cached_indel_similarity(ps, ms),
+            char_match=char_m,
+            ngram_match=ngram_m,
+            levenshtein_similarity=lev_m,
         ))
 
     # 9: threshold + distractor filters
