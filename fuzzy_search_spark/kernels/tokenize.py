@@ -44,3 +44,63 @@ def tokenize(text: str, ignorecase: bool = False) -> List[TokenSpan]:
             normalized=norm,
         ))
     return out
+
+
+def regex_split_spans(text: str, split_pattern: str = r"\s+"):
+    """RegExTokenizer split-pattern mode (reference token.py:527-538):
+    tokens are the unmatched segments between split matches.  Quirk kept
+    for parity: the final tail segment is yielded even when empty (the
+    reference yields it unconditionally)."""
+    char_index = 0
+    for m in re.finditer(split_pattern, text):
+        token_string = text[char_index:m.start()]
+        if token_string:
+            yield token_string, m.start() - len(token_string)
+        char_index = m.end()
+    yield text[char_index:], char_index
+
+
+def regex_token_spans(text: str, token_pattern: str):
+    """RegExTokenizer token-pattern mode (reference token.py:540-543)."""
+    for m in re.finditer(token_pattern, text):
+        yield m.group(0), m.start()
+
+
+def custom_token_spans(text: str, tokenizer_func):
+    """CustomTokenizer offset recovery (reference token.py:579-597): the
+    user function returns token strings; offsets are recovered by a
+    progressive index() scan over the remaining text, so repeated tokens
+    anchor left-to-right."""
+    remaining = text
+    consumed = 0
+    for token_string in tokenizer_func(text):
+        i = remaining.index(token_string)
+        yield token_string, i + consumed
+        consumed += i + len(token_string)
+        remaining = remaining[i + len(token_string):]
+
+
+DOC_START = "<DOC>"
+DOC_END = "</DOC>"
+
+
+def spans_to_tokens(text: str, spans, ignorecase: bool = False,
+                    include_boundary_tokens: bool = False) -> List[TokenSpan]:
+    """(string, start) spans -> TokenSpans with the reference's
+    char_end_index formula and optional <DOC>/</DOC> boundary tokens
+    (token.py:451-463)."""
+    doc_len = len(text)
+    out: List[TokenSpan] = []
+    if include_boundary_tokens:
+        out.append(TokenSpan(DOC_START, 0, 0, doc_len, ""))
+    for string, start in spans:
+        out.append(TokenSpan(
+            string=string,
+            index=len(out),
+            char_index=start,
+            char_end_index=doc_len - (start + len(string) + 1),
+            normalized=string.lower() if ignorecase else string.lower(),
+        ))
+    if include_boundary_tokens:
+        out.append(TokenSpan(DOC_END, len(out), doc_len, 0, ""))
+    return out
