@@ -456,6 +456,19 @@ def q_close_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("term_a", "term_b")
 
 
+def q_close_pairs_begin_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close-term pairs scored with begin/end edit similarity of the
+    first/last 3 chars (reference similarity.py:51-93) — pure column
+    expressions over the band-join candidates."""
+    from fuzzy_search_spark.analysis.similarity import (
+        begin_end_similarity,
+        close_term_pairs,
+    )
+
+    pairs = close_term_pairs(_vocab_terms(spark, sf_dir), max_distance=2)
+    return begin_end_similarity(pairs).orderBy("term_a", "term_b")
+
+
 def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.analysis.similarity import word_cooccurrence
 
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_probabilities": q_ngram_probabilities,
         "skipgram_similarity": q_skipgram_similarity,
         "close_term_pairs": q_close_term_pairs,
+        "close_pairs_begin_end": q_close_pairs_begin_end,
         "word_cooccurrence": q_word_cooccurrence,
         "spelling_changes": q_spelling_changes,
         "bpe_merges": q_bpe_merges,
@@ -1026,6 +1040,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(length(a.term) - length(b.term)) <= 2
               AND levenshtein(a.term, b.term) <= 2
             ORDER BY term_a, term_b
+        """,
+        "close_pairs_begin_end": r"""
+            WITH terms AS (
+              SELECT DISTINCT term FROM (
+                SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+                UNION ALL
+                SELECT unnest(regexp_split_to_array(lower(p_name), '\s+')) AS term
+                FROM part) u
+              WHERE length(term) > 0
+            ), pairs AS (
+              SELECT a.term AS term_a, b.term AS term_b,
+                     levenshtein(a.term, b.term) AS distance
+              FROM terms a JOIN terms b ON a.term < b.term
+              WHERE abs(length(a.term) - length(b.term)) <= 2
+                AND levenshtein(a.term, b.term) <= 2
+            )
+            SELECT term_a, term_b, distance,
+                   round(1 - levenshtein(substr(term_a, 1, 3),
+                                         substr(term_b, 1, 3))
+                         / greatest(length(substr(term_a, 1, 3)),
+                                    length(substr(term_b, 1, 3))), 6)
+                     AS begin_similarity,
+                   round(1 - levenshtein(substr(term_a, greatest(length(term_a) - 2, 1), 3),
+                                         substr(term_b, greatest(length(term_b) - 2, 1), 3))
+                         / greatest(length(substr(term_a, greatest(length(term_a) - 2, 1), 3)),
+                                    length(substr(term_b, greatest(length(term_b) - 2, 1), 3))), 6)
+                     AS end_similarity
+            FROM pairs ORDER BY term_a, term_b
         """,
         "word_cooccurrence": r"""
             WITH t AS (
