@@ -253,3 +253,33 @@ def test_partitioning_invariance(spark, pages_path):
     assert rows(base.repartition(7)) == expect
     assert rows(salt_by_url(base, 5)) == expect
     assert rows(base.repartition(3), chunk_chars=512) == expect
+
+
+def test_lineage_metrics_values(spark, pages_path, tmp_path):
+    """Per-partition lineage rows must ACCOUNT for the data: summed docs ==
+    input rows with text, summed matches == written match rows, and every
+    partition row carries a non-negative wall."""
+    import json
+
+    from fuzzy_search_spark.spark.job import run_extraction_job
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    out = str(tmp_path / "lineage_out")
+    run_extraction_job(spark, pages_path, out, model, num_groups=2)
+
+    n_input = spark.read.parquet(pages_path).filter(
+        "text is not null and text <> ''").count()
+    n_matches = spark.read.parquet(os.path.join(out, "matches")).count()
+
+    total_docs = total_matches = 0
+    for g in (0, 1):
+        with open(os.path.join(out, "_metrics", f"group={g}.json")) as fh:
+            payload = json.load(fh)
+        rows = payload["partitions"]
+        assert rows, f"group {g} has no partition rows"
+        assert all(r["wall_ms"] >= 0 and r["chars"] >= r["docs"]
+                   for r in rows)
+        total_docs += sum(r["docs"] for r in rows)
+        total_matches += sum(r["matches"] for r in rows)
+    assert total_docs == n_input
+    assert total_matches == n_matches
