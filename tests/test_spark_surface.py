@@ -283,3 +283,18 @@ def test_lineage_metrics_values(spark, pages_path, tmp_path):
         total_matches += sum(r["matches"] for r in rows)
     assert total_docs == n_input
     assert total_matches == n_matches
+
+
+def test_minhash_plan_shape(spark):
+    """Plan-regression guard for the LSH rewrite: ONE parquet-equivalent
+    scan (no self-join recompute) and zero SortAggregates (numeric
+    signature components keep min() in a mutable hash-agg buffer)."""
+    from fuzzy_search_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon {i}") for i in range(50)],
+        "doc_id long, text string")
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+    assert "SortAggregate" not in plan
