@@ -298,3 +298,34 @@ def test_minhash_plan_shape(spark):
         .executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
     assert "SortAggregate" not in plan
+
+
+def test_cli_entry_point(spark, pages_path, tmp_path):
+    """The spark-submit entry point (python -m fuzzy_search_spark) runs
+    both pipelines end to end from file-based phrase/config inputs."""
+    import json
+
+    from fuzzy_search_spark.__main__ import main
+
+    phrases_file = tmp_path / "phrases.json"
+    phrases_file.write_text(json.dumps(list(README_MODEL)))
+    config_file = tmp_path / "config.json"
+    config_file.write_text(json.dumps(README_CONFIG))
+
+    out1 = str(tmp_path / "cli_out")
+    summary = main([
+        "--input", pages_path, "--output", out1,
+        "--phrases", str(phrases_file), "--config", str(config_file),
+        "--num-groups", "2",
+    ], spark=spark)
+    assert summary["mode"] == "phrase" and summary["ran"] == [0, 1]
+    assert spark.read.parquet(os.path.join(out1, "matches")).count() > 0
+
+    out2 = str(tmp_path / "cli_out_tokens")
+    summary2 = main([
+        "--input", pages_path, "--output", out2,
+        "--phrases", str(phrases_file), "--config", str(config_file),
+        "--token-mode",
+    ], spark=spark)
+    assert summary2["mode"] == "token"
+    assert spark.read.parquet(out2).count() > 0
