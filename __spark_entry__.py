@@ -362,20 +362,14 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization/vocabulary.py:8-125) as a deterministic table: ids are
     dense ranks in lexicographic term order, so the map is reproducible by
     any engine and stable under re-runs (a requirement the reference's
-    insertion-order ids cannot give a distributed build)."""
-    from pyspark.sql import Window
+    insertion-order ids cannot give a distributed build).
 
-    terms = (
-        _docs(spark, sf_dir)
-        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
-                .alias("term"))
-        .filter(F.length("term") > 0)
-        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    )
-    w = Window.orderBy("term")
-    return terms.select(
-        (F.row_number().over(w) - 1).alias("term_id"), "term", "freq"
-    ).orderBy("term_id")
+    Scale shape: dense ids come from a range-partitioned parallel sort +
+    zipWithIndex (fuzzy_search_spark/analysis/vocabulary.py), NOT a
+    partition-less Window.orderBy — no single-task WindowExec."""
+    from fuzzy_search_spark.analysis.vocabulary import vocabulary_table
+
+    return vocabulary_table(_docs(spark, sf_dir)).orderBy("term_id")
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,7 +497,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional seconds: events carry microsecond precision, and the 1800 s
+    # inactivity cutoff must see them (unix_timestamp truncates to whole
+    # seconds, so a gap in (1800, 1801) would classify differently from the
+    # oracle's fractional epoch()).  ts is TIMESTAMP_NTZ -> go via unix_micros.
+    epoch_s = lambda c: F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1e6)  # noqa: E731
+    gap = epoch_s(F.col("ts")) - epoch_s(F.lag("ts").over(w))
     with_flag = ev.withColumn(
         "new_session",
         F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
@@ -1195,7 +1194,7 @@ def oracle_sql() -> dict[str, str]:
                        AS session_id
               FROM flagged
             )
-            SELECT user_id, max(session_id) AS n_sessions,
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
         """,

@@ -21,7 +21,7 @@ class TokenSpan(NamedTuple):
     index: int            # token position in the document
     char_index: int       # start char offset
     char_end_index: int   # reference's end-distance quirk, kept for parity
-    normalized: str       # lowercased form
+    normalized: str       # lowercased iff ignorecase, else the original string
 
 
 def wordpunct_spans(text: str) -> Iterator[tuple]:
@@ -35,7 +35,7 @@ def tokenize(text: str, ignorecase: bool = False) -> List[TokenSpan]:
     doc_len = len(text)
     out = []
     for ti, (string, start, _end) in enumerate(wordpunct_spans(text)):
-        norm = string.lower() if not ignorecase else string.lower()
+        norm = string.lower() if ignorecase else string
         out.append(TokenSpan(
             string=string,
             index=ti,
@@ -91,16 +91,19 @@ def spans_to_tokens(text: str, spans, ignorecase: bool = False,
     (token.py:451-463)."""
     doc_len = len(text)
     out: List[TokenSpan] = []
+    # boundary tokens: the reference passes normalised_string='' but
+    # Token.__init__ treats '' as falsy and falls back to the string itself
+    # (token.py:112), so the normalized form IS '<DOC>'/'</DOC>'.
     if include_boundary_tokens:
-        out.append(TokenSpan(DOC_START, 0, 0, doc_len, ""))
+        out.append(TokenSpan(DOC_START, 0, 0, doc_len, DOC_START))
     for string, start in spans:
         out.append(TokenSpan(
             string=string,
             index=len(out),
             char_index=start,
             char_end_index=doc_len - (start + len(string) + 1),
-            normalized=string.lower() if ignorecase else string.lower(),
+            normalized=string.lower() if ignorecase else string,
         ))
     if include_boundary_tokens:
-        out.append(TokenSpan(DOC_END, len(out), doc_len, 0, ""))
+        out.append(TokenSpan(DOC_END, len(out), doc_len, 0, DOC_END))
     return out

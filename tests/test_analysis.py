@@ -164,3 +164,56 @@ class TestLshMultiTable:
             assert multi == again
         finally:
             spark.stop()
+
+
+class TestVocabulary:
+    """Driver-side Vocabulary parity vs the reference class
+    (tokenization/vocabulary.py:8-125, run live under oracle_shims)."""
+
+    TERMS = ["Alpha", "beta", "Alpha", "GAMMA", "delta", "beta"]
+
+    def _both(self, ignorecase):
+        import sys
+        sys.path.insert(0, "tests/oracle_shims")
+        sys.path.insert(0, "/root/reference")
+        from fuzzy_search.tokenization.vocabulary import (
+            Vocabulary as RefVocabulary,
+        )
+        from fuzzy_search_spark.analysis.vocabulary import Vocabulary
+
+        return (Vocabulary(self.TERMS, ignorecase=ignorecase),
+                RefVocabulary(self.TERMS, ignorecase=ignorecase))
+
+    @pytest.mark.parametrize("ignorecase", [False, True])
+    def test_ids_match_reference(self, ignorecase):
+        if not reference_available():
+            pytest.skip("reference not available")
+        mine, ref = self._both(ignorecase)
+        assert mine.term_id == ref.term_id
+        assert mine.id_term == ref.id_term
+        assert len(mine) == len(ref)
+        for term in ref:
+            assert mine.term2id(term) == ref.term2id(term)
+            assert term in mine
+        assert mine.term2id("nope") is None and ref.term2id("nope") is None
+        assert mine.id2term(999) is None and ref.id2term(999) is None
+
+    def test_add_terms_and_reset(self):
+        if not reference_available():
+            pytest.skip("reference not available")
+        mine, ref = self._both(False)
+        for v in (mine, ref):
+            v.add_terms("Epsilon")
+            v.add_terms(["zeta", "Epsilon"])
+        assert mine.term_id == ref.term_id
+        for v in (mine, ref):
+            v.add_terms(["fresh"], reset_index=True)
+        assert mine.term_id == ref.term_id == {"fresh": 0}
+
+    def test_token_input(self):
+        from fuzzy_search_spark.analysis.vocabulary import Vocabulary
+        from fuzzy_search_spark.kernels.tokenize import tokenize
+
+        tokens = tokenize("The quick brown fox", ignorecase=True)
+        vocab = Vocabulary(tokens)
+        assert vocab.term2id("the") == 0 and vocab.term2id("fox") == 3

@@ -329,3 +329,39 @@ def test_cli_entry_point(spark, pages_path, tmp_path):
     ], spark=spark)
     assert summary2["mode"] == "token"
     assert spark.read.parquet(out2).count() > 0
+
+
+def test_vocabulary_table_dense_ids_no_window(spark):
+    """Vocabulary dense ids are lexicographic ranks and the plan avoids a
+    partition-less WindowExec (scale guard: a global window funnels the
+    whole vocabulary through one task)."""
+    from fuzzy_search_spark.analysis.vocabulary import vocabulary_table
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "a cat ran the race")],
+        "doc_id long, text string")
+    out = vocabulary_table(docs)
+    rows = out.orderBy("term_id").collect()
+    terms = [r["term"] for r in rows]
+    assert terms == sorted(terms)
+    assert [r["term_id"] for r in rows] == list(range(len(rows)))
+    freqs = {r["term"]: r["freq"] for r in rows}
+    assert freqs["the"] == 3 and freqs["cat"] == 2 and freqs["race"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_vocabulary_round_trip(spark):
+    """vocabulary_from_df collects into the reference-API Vocabulary and
+    the term<->id maps are mutually inverse."""
+    from fuzzy_search_spark.analysis.vocabulary import vocabulary_from_df
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta Gamma"), (2, "beta delta")],
+        "doc_id long, text string")
+    vocab = vocabulary_from_df(docs)
+    assert len(vocab) == 4
+    for term in vocab:
+        assert vocab.id2term(vocab.term2id(term)) == term
+    assert vocab.has_term("ALPHA")  # ignorecase inherited from lowercase=True
+    assert vocab.term_freq["beta"] == 2

@@ -35,19 +35,25 @@ def _rand_texts(n=60, seed=13):
 
 
 def _ref_tokens(tokenizer, text):
-    return [(t.string, t.char_index, t.char_end_index)
+    return [(t.string, t.char_index, t.char_end_index, t.normalised_string)
             for t in tokenizer.tokenize(text)]
 
 
+def _mine(spans_tokens):
+    return [(s.string, s.char_index, s.char_end_index, s.normalized)
+            for s in spans_tokens]
+
+
 @pytest.mark.parametrize("split_pattern", [r"\s+", r"[,.]\s*"])
-def test_regex_split_parity(split_pattern):
+@pytest.mark.parametrize("ignorecase", [False, True])
+def test_regex_split_parity(split_pattern, ignorecase):
     from fuzzy_search.tokenization.token import RegExTokenizer
 
-    ref = RegExTokenizer(split_pattern=split_pattern)
+    ref = RegExTokenizer(split_pattern=split_pattern, ignorecase=ignorecase)
     for text in TEXTS + _rand_texts():
-        mine = [(s.string, s.char_index, s.char_end_index)
-                for s in spans_to_tokens(
-                    text, regex_split_spans(text, split_pattern))]
+        mine = _mine(spans_to_tokens(
+            text, regex_split_spans(text, split_pattern),
+            ignorecase=ignorecase))
         assert mine == _ref_tokens(ref, text), (split_pattern, text)
 
 
@@ -56,9 +62,7 @@ def test_regex_token_pattern_parity():
 
     ref = RegExTokenizer(token_pattern=r"\w+")
     for text in TEXTS + _rand_texts(seed=14):
-        mine = [(s.string, s.char_index, s.char_end_index)
-                for s in spans_to_tokens(
-                    text, regex_token_spans(text, r"\w+"))]
+        mine = _mine(spans_to_tokens(text, regex_token_spans(text, r"\w+")))
         assert mine == _ref_tokens(ref, text), text
 
 
@@ -70,8 +74,7 @@ def test_custom_tokenizer_parity():
 
     ref = CustomTokenizer(tokenizer_func=fn)
     for text in TEXTS + _rand_texts(seed=15):
-        mine = [(s.string, s.char_index, s.char_end_index)
-                for s in spans_to_tokens(text, custom_token_spans(text, fn))]
+        mine = _mine(spans_to_tokens(text, custom_token_spans(text, fn)))
         assert mine == _ref_tokens(ref, text), text
 
 
@@ -80,10 +83,9 @@ def test_boundary_tokens_parity():
 
     ref = RegExTokenizer(split_pattern=r"\s+", include_boundary_tokens=True)
     for text in TEXTS:
-        mine = [(s.string, s.char_index, s.char_end_index)
-                for s in spans_to_tokens(
-                    text, regex_split_spans(text, r"\s+"),
-                    include_boundary_tokens=True)]
+        mine = _mine(spans_to_tokens(
+            text, regex_split_spans(text, r"\s+"),
+            include_boundary_tokens=True))
         assert mine == _ref_tokens(ref, text), text
 
 
@@ -94,6 +96,14 @@ def test_wordpunct_matches_reference_base():
 
     ref = Tokenizer()
     for text in TEXTS + _rand_texts(seed=16):
-        mine = [(s.string, s.char_index, s.char_end_index)
-                for s in tokenize(text)]
+        mine = _mine(tokenize(text))
+        assert mine == _ref_tokens(ref, text), text
+
+
+def test_wordpunct_ignorecase_normalized():
+    from fuzzy_search.tokenization.token import Tokenizer
+
+    ref = Tokenizer(ignorecase=True)
+    for text in TEXTS + _rand_texts(seed=17):
+        mine = _mine(tokenize(text, ignorecase=True))
         assert mine == _ref_tokens(ref, text), text
