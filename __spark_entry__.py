@@ -376,15 +376,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 30 BPE merges over the corpus token histogram.  The histogram
     is a distributed groupBy; the merge loop is inherently sequential and
     tiny, so it runs on the driver (SURVEY §2.7: k iterations x shuffle is
-    the wrong shape for Spark)."""
+    the wrong shape for Spark).
+
+    The driver collect is BOUNDED: only the top ``BPE_MAX_TYPES`` most
+    frequent word types come back (TakeOrderedAndProject, deterministic
+    tie-break on the word), mirroring the reference FrequencyTracker's
+    prune-below-threshold behavior — a web corpus's billion-type tail
+    cannot OOM the driver, and the rare tail contributes negligibly to
+    early merge ranks anyway.  On the test corpora the type count is far
+    below the bound, so the merges are byte-identical to the unbounded run.
+    """
     from fuzzy_search_spark.analysis.subtoken import train_bpe
 
+    BPE_MAX_TYPES = 250_000
     hist = (
         _docs(spark, sf_dir)
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
                 .alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("w"))
+        .limit(BPE_MAX_TYPES)
         .collect()
     )
     _vocab, merges = train_bpe({r["w"]: r["c"] for r in hist}, 30)

@@ -72,6 +72,9 @@ def main(argv=None, spark=None) -> dict:
         from fuzzy_search_spark.spark.job import match_documents_tokens
         from fuzzy_search_spark.token_matcher import compile_token_model
 
+        if args.chunk_chars:
+            print("warning: --chunk-chars applies to the phrase pipeline "
+                  "only; ignored in --token-mode", file=sys.stderr)
         tmodel = compile_token_model(phrases, config)
         df = spark.read.parquet(args.input)
         out = match_documents_tokens(
@@ -90,7 +93,8 @@ def main(argv=None, spark=None) -> dict:
             salt_partitions=args.salt_partitions,
             resume=not args.no_resume,
             url_col=args.url_col, text_col=args.text_col,
-            html_col=args.html_col or None)
+            html_col=args.html_col or None,
+            chunk_chars=args.chunk_chars)
         summary["mode"] = "phrase"
     print(json.dumps(summary))
     return summary

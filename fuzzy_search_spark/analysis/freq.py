@@ -82,23 +82,21 @@ def ngram_probabilities(df: DataFrame, text_col: str = "text",
                            preceding tokens (order-1 uses the unigram total)
     - ``p_cond_laplace``   (freq + k) / (freq(head) + k * vocab)
     """
-    # persisted: three consumers (order totals, vocab size, the returned
-    # plan) would otherwise each recompute the explode+aggregate pass
-    counts = word_ngram_counts(df, text_col, max_n=max_n).persist()
-    per_order = counts.groupBy("n").agg(
-        F.sum("freq").alias("total"),
-        F.count(F.lit(1)).alias("distinct_grams")).collect()
-    totals = {r["n"]: r["total"] for r in per_order}
-    vocab_size = next(
-        (r["distinct_grams"] for r in per_order if r["n"] == 1), 0)
-    total_map = F.create_map(*[
-        x for n, t in sorted(totals.items()) for x in (F.lit(n), F.lit(t))
-    ])
+    # fully lazy: order totals and the unigram vocab size are tiny
+    # aggregates broadcast-joined back in (no driver collect); all four
+    # consumers branch from the same (n, gram) aggregation exchange, which
+    # Catalyst reuses within the single returned DAG
+    counts = word_ngram_counts(df, text_col, max_n=max_n)
+    order_totals = counts.groupBy("n").agg(
+        F.sum("freq").alias("order_total"))
+    uni = counts.filter(F.col("n") == 1).agg(
+        F.coalesce(F.sum("freq"), F.lit(0)).alias("_uni_total"),
+        F.count(F.lit(1)).alias("_vocab_size"))
     heads = counts.select(
         F.col("gram").alias("head"), F.col("freq").alias("head_freq"),
         (F.col("n") + 1).alias("n"))
     head_expr = F.when(
-        F.col("n") == 1, F.lit(totals.get(1, 0))
+        F.col("n") == 1, F.col("_uni_total")
     ).otherwise(F.col("head_freq"))
     head_key = F.when(
         F.col("n") > 1,
@@ -107,9 +105,11 @@ def ngram_probabilities(df: DataFrame, text_col: str = "text",
     joined = (
         counts.withColumn("head", head_key)
         .join(heads, ["head", "n"], "left")
-        .withColumn("order_total", total_map[F.col("n")])
+        .join(F.broadcast(order_totals), "n")
+        .crossJoin(F.broadcast(uni))
     )
     k = F.lit(float(smoothing_k))
+    vocab_size = F.col("_vocab_size")
     return joined.select(
         "n", "gram", "freq",
         F.round(F.col("freq") / F.col("order_total"), 9).alias("p_mle"),
@@ -141,13 +141,15 @@ def log_likelihood_ratio(target: DataFrame, reference: DataFrame,
         .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("freq_t"),
              F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("freq_r"))
     )
-    # counts are small vs the corpus (distinct grams only) — persist so the
-    # totals action and the returned plan share one explode+aggregate pass
-    joined = joined.persist()
-    total_t, total_r = joined.agg(F.sum("freq_t"), F.sum("freq_r")).head()
-    total_t, total_r = total_t or 0, total_r or 0
+    # fully lazy: corpus totals are a one-row aggregate broadcast back in;
+    # the totals branch and the output branch share the per-gram
+    # aggregation exchange via Catalyst exchange reuse (no persist, no
+    # driver-side .head() action)
+    totals = joined.agg(
+        F.coalesce(F.sum("freq_t"), F.lit(0)).cast("double").alias("_ta"),
+        F.coalesce(F.sum("freq_r"), F.lit(0)).cast("double").alias("_tb"))
     a, b = F.col("freq_t").cast("double"), F.col("freq_r").cast("double")
-    ta, tb = F.lit(float(total_t)), F.lit(float(total_r))
+    ta, tb = F.col("_ta"), F.col("_tb")
     e1 = ta * (a + b) / (ta + tb)
     e2 = tb * (a + b) / (ta + tb)
     term1 = F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
@@ -156,5 +158,6 @@ def log_likelihood_ratio(target: DataFrame, reference: DataFrame,
     signed = F.when(a / ta >= b / tb, llr).otherwise(-llr)
     return (
         joined.filter((F.col("freq_t") + F.col("freq_r")) >= min_freq)
+        .crossJoin(F.broadcast(totals))
         .select("gram", "freq_t", "freq_r", F.round(signed, 6).alias("llr"))
     )

@@ -21,14 +21,22 @@ from pyspark.sql import functions as F
 
 
 def word_fractions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-word corpus fraction, fully lazy: the corpus total is a
+    one-row aggregate broadcast-cross-joined back in, NOT a driver-side
+    ``.head()`` — the whole computation stays one DAG (Catalyst reuses the
+    word-count exchange between the two branches), so callers can compose
+    it without triggering eager jobs."""
     words = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
                   .alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     )
-    total = words.agg(F.sum("freq")).head()[0] or 1
-    return words.withColumn("frac", F.col("freq") / F.lit(float(total)))
+    total = words.agg(
+        F.coalesce(F.sum("freq"), F.lit(1)).alias("_total"))
+    return (words.crossJoin(F.broadcast(total))
+            .withColumn("frac", F.col("freq") / F.col("_total"))
+            .drop("_total"))
 
 
 def frequency_change(corpus1: DataFrame, corpus2: DataFrame,
@@ -87,7 +95,9 @@ def spelling_shifts(corpus1: DataFrame, corpus2: DataFrame,
     'replace' for disappeared words and 'shift' for decreased ones."""
     from fuzzy_search_spark.analysis.similarity import char_skipgram_counts
 
-    changes = frequency_change(corpus1, corpus2, text_col, min_freq).cache()
+    # no cache: drops/jumps branch from the same aggregation subtree, which
+    # Catalyst's exchange reuse shares within the single returned DAG
+    changes = frequency_change(corpus1, corpus2, text_col, min_freq)
     drops = changes.filter(
         F.col("change_level").isin("decrease", "disappear")).select(
         F.col("word").alias("drop_word"),

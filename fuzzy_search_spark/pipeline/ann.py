@@ -102,11 +102,14 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> List[List[float]]:
 
 
 def lsh_bucket(df: DataFrame, num_planes: int = 8, seed: int = 7,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = None) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign pattern packed to
-    an int)."""
+    an int).  Pass ``dim`` when known (e.g. ``len(query)``) — otherwise a
+    one-row ``.head()`` probe runs to discover it, an extra eager job."""
     vec = F.col(vec_col).cast("array<double>")
-    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
     planes = _hyperplanes(dim, num_planes, seed)
     bucket = F.lit(0)
     for pi, plane in enumerate(planes):
@@ -124,7 +127,7 @@ def lsh_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     q = np.asarray(query, dtype=float)
     planes = np.asarray(_hyperplanes(len(q), num_planes, seed))
     qbucket = int(sum(1 << i for i, s in enumerate(planes @ q >= 0) if s))
-    bucketed = lsh_bucket(df, num_planes, seed, id_col, vec_col)
+    bucketed = lsh_bucket(df, num_planes, seed, id_col, vec_col, dim=len(q))
     return cosine_topk(bucketed.filter(F.col("bucket") == qbucket), query, k,
                        id_col, vec_col)
 
@@ -137,8 +140,9 @@ def lsh_topk_multi(df: DataFrame, query: Sequence[float], k: int = 10,
     the query's bucket in ANY of ``num_tables`` independent hash tables
     (distinct hyperplane seeds).  Recall rises with num_tables while the
     scored candidate set stays a small union of buckets — the standard
-    multi-table LSH trade-off; still one scan (all tables' buckets compute
-    in the same projection, the filter is a disjunction)."""
+    multi-table LSH trade-off; still one scan AND zero eager probe jobs —
+    the vector dimension comes from ``len(query)``, so no per-table
+    ``.head()`` runs before the final plan."""
     q = np.asarray(query, dtype=float)
     out = df
     cond = None
@@ -146,7 +150,8 @@ def lsh_topk_multi(df: DataFrame, query: Sequence[float], k: int = 10,
         seed = base_seed + 1000 * t
         planes = np.asarray(_hyperplanes(len(q), num_planes, seed))
         qbucket = int(sum(1 << i for i, s in enumerate(planes @ q >= 0) if s))
-        out = lsh_bucket(out, num_planes, seed, id_col, vec_col) \
+        out = lsh_bucket(out, num_planes, seed, id_col, vec_col,
+                         dim=len(q)) \
             .withColumnRenamed("bucket", f"bucket_{t}")
         hit = F.col(f"bucket_{t}") == qbucket
         cond = hit if cond is None else (cond | hit)

@@ -87,23 +87,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 3,
-                      num_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, n_bands).
-
-    Documents sharing any band (num_hashes/bands rows of the signature)
-    become a candidate pair; n_bands counts how many bands agree.
-
-    Physical shape: ONE pass — band-explode the signatures, group by
-    (band, band_hash) into buckets, and emit within-bucket pairs by a
-    double explode.  A self-join on (band, band_hash) would recompute the
-    whole shingle->signature pipeline for both join branches; the bucket
-    aggregation shuffles the (tiny) signature rows exactly once on a
-    uniformly-distributed key."""
+def _banded_signatures(df: DataFrame, id_col: str, text_col: str, k: int,
+                       num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) rows: one per document per band — the shared
+    front half of LSH pair generation and bucket auditing."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(F.array(*[
             F.struct(
@@ -116,10 +106,62 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
-    buckets = (
+
+
+def oversized_lsh_buckets(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3,
+                          num_hashes: int = 8, bands: int = 4,
+                          max_bucket_size: int = 10_000) -> DataFrame:
+    """Audit companion to :func:`minhash_lsh_pairs`: the (band, band_hash,
+    bucket_n) buckets the cap dropped — run it to quantify what the cap
+    excluded (constant-size count buffers only, never the id lists)."""
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes, bands)
+    return (
         banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 8, bands: int = 4,
+                      max_bucket_size: int = 10_000) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: (id_a, id_b, n_bands).
+
+    Documents sharing any band (num_hashes/bands rows of the signature)
+    become a candidate pair; n_bands counts how many bands agree.
+
+    Physical shape: ONE pass — band-explode the signatures, group by
+    (band, band_hash) into buckets, and emit within-bucket pairs by a
+    double explode.  A self-join on (band, band_hash) would recompute the
+    whole shingle->signature pipeline for both join branches; the bucket
+    aggregation shuffles the (tiny) signature rows exactly once on a
+    uniformly-distributed key.
+
+    ``max_bucket_size`` caps degenerate buckets (a band hash shared by a
+    huge templated/near-empty cluster): one hot band would otherwise
+    concentrate the whole cluster's id list in a single aggregation buffer
+    AND emit O(n^2) pairs from it.  The cap is enforced BEFORE the id
+    lists materialize — a count aggregation sizes every bucket first and
+    only ids in surviving buckets reach collect_list, so no aggregation
+    buffer ever exceeds the cap (the count pass itself is a constant-size
+    buffer with map-side combine).  Buckets above the cap are dropped — at
+    that size the members are template clusters that exact/simhash dedup
+    handles directly; use :func:`oversized_lsh_buckets` to audit what was
+    dropped."""
+    banded = _banded_signatures(df, id_col, text_col, k, num_hashes, bands)
+    keep = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter((F.col("bucket_n") >= 2)
+                & (F.col("bucket_n") <= max_bucket_size))
+        .select("band", "band_hash")
+    )
+    buckets = (
+        banded.join(keep, ["band", "band_hash"])
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
     pairs = (
         buckets.select(F.posexplode("ids").alias("pos", "id_a"), "ids")

@@ -219,7 +219,8 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
                        salt_partitions: Optional[int] = None,
                        resume: bool = True,
                        url_col: str = "url", text_col: str = "text",
-                       html_col: Optional[str] = "html") -> dict:
+                       html_col: Optional[str] = "html",
+                       chunk_chars: Optional[int] = None) -> dict:
     """End-to-end resumable job: read -> (extract) -> match -> write.
 
     Output layout:
@@ -256,7 +257,7 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
         part = salt_by_url(part, salt_partitions, url_col)
         matches = match_documents(part, model, url_col=url_col,
                                   text_col=text_col, html_col=html_col,
-                                  metrics_acc=acc)
+                                  chunk_chars=chunk_chars, metrics_acc=acc)
         group_dir = os.path.join(output_path, "matches", f"group={group}")
         matches.write.mode("overwrite").parquet(group_dir)
         wall = time.monotonic() - t0

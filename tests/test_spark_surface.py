@@ -286,18 +286,50 @@ def test_lineage_metrics_values(spark, pages_path, tmp_path):
 
 
 def test_minhash_plan_shape(spark):
-    """Plan-regression guard for the LSH rewrite: ONE parquet-equivalent
-    scan (no self-join recompute) and zero SortAggregates (numeric
-    signature components keep min() in a mutable hash-agg buffer)."""
+    """Plan-regression guard for the LSH shape: zero SortAggregates
+    (numeric signature components keep min() in a mutable hash-agg
+    buffer), and the bucket-size-cap pre-count shares the banded-signature
+    subtree with the pair generation via runtime stage reuse — the
+    shingle->signature pipeline materializes ONCE, not per branch."""
     from fuzzy_search_spark.pipeline.dedup import minhash_lsh_pairs
 
     docs = spark.createDataFrame(
         [(i, f"word{i} alpha beta gamma delta epsilon {i}") for i in range(50)],
         "doc_id long, text string")
-    plan = minhash_lsh_pairs(docs)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+    out = minhash_lsh_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan
+    # exactly two branches over the banded subtree: the size pre-count and
+    # the capped collect_list (a third would mean an accidental recompute)
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 2
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 1, "banded subtree not stage-reused"
+
+
+def test_minhash_bucket_cap(spark):
+    """Oversized buckets are excluded from pair generation and surfaced by
+    the audit helper."""
+    from fuzzy_search_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        oversized_lsh_buckets,
+    )
+
+    # 30 identical docs (one degenerate bucket) + 2 near-dups
+    docs = spark.createDataFrame(
+        [(i, "the same templated text every time") for i in range(30)]
+        + [(100, "a unique document about owls and trees"),
+           (101, "a unique document about owls and bees")],
+        "doc_id long, text string")
+    capped = minhash_lsh_pairs(docs, max_bucket_size=10)
+    ids = {r["id_a"] for r in capped.collect()} | \
+        {r["id_b"] for r in capped.collect()}
+    assert ids <= {100, 101}, "capped bucket leaked pairs"
+    audit = oversized_lsh_buckets(docs, max_bucket_size=10).collect()
+    assert audit and all(r["bucket_n"] == 30 for r in audit)
+    uncapped = minhash_lsh_pairs(docs)
+    assert uncapped.filter("id_a < 50").count() > 0
 
 
 def test_cli_entry_point(spark, pages_path, tmp_path):
@@ -365,3 +397,61 @@ def test_vocabulary_round_trip(spark):
         assert vocab.id2term(vocab.term2id(term)) == term
     assert vocab.has_term("ALPHA")  # ignorecase inherited from lowercase=True
     assert vocab.term_freq["beta"] == 2
+
+
+def test_analysis_plans_are_lazy(spark):
+    """Regression guard for the de-eagered scalar-totals pattern: building
+    the spelling/frequency plans must trigger ZERO Spark jobs (totals are
+    broadcast one-row aggregates inside the DAG, not driver .head() calls),
+    and the adaptive runtime reuses the shared aggregation exchange."""
+    from fuzzy_search_spark.analysis.freq import (
+        log_likelihood_ratio,
+        ngram_probabilities,
+    )
+    from fuzzy_search_spark.analysis.spelling import spelling_shifts
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 7} beta") for i in range(40)],
+        "doc_id long, text string")
+    docs2 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 5} zeta") for i in range(40)],
+        "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    p1 = ngram_probabilities(docs)
+    p2 = log_likelihood_ratio(docs, docs2, min_freq=1)
+    p3 = spelling_shifts(docs, docs2, min_freq=1, similarity_threshold=0.1)
+    after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    assert after == before, "plan construction ran eager Spark jobs"
+    assert p1.count() > 0 and p2.count() > 0 and p3.count() >= 0
+    p1.collect()
+    final = p1._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 1, "no exchange/stage reuse in AQE plan"
+
+
+def test_cli_chunk_chars_forwarded(spark, pages_path, tmp_path):
+    """--chunk-chars reaches match_documents (ADVICE r1: it was parsed but
+    dropped) and, being exactness-preserving, leaves the output identical."""
+    import json
+
+    from fuzzy_search_spark.__main__ import main
+
+    phrases_file = tmp_path / "phrases.json"
+    phrases_file.write_text(json.dumps(list(README_MODEL)))
+    config_file = tmp_path / "config.json"
+    config_file.write_text(json.dumps(README_CONFIG))
+
+    out_plain = str(tmp_path / "plain")
+    out_chunked = str(tmp_path / "chunked")
+    base = ["--phrases", str(phrases_file), "--config", str(config_file),
+            "--input", pages_path, "--num-groups", "1"]
+    main(base + ["--output", out_plain], spark=spark)
+    main(base + ["--output", out_chunked, "--chunk-chars", "120"],
+         spark=spark)
+    cols = ["url", "phrase", "string", "offset", "end"]
+    a = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_plain, "matches")).select(cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_chunked, "matches")).select(cols).collect()))
+    assert a == b and len(a) > 0
