@@ -167,6 +167,30 @@ def q_exact_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C Web-Annotation sink (sinks.py:44, reference phrase_match.py:
+    239-297) exercised end-to-end over deterministic exact matches: the
+    first occurrence of each exact phrase per document, serialized via
+    to_json(struct(...)) — byte-comparable against DuckDB's to_json."""
+    from fuzzy_search_spark.sinks import to_web_annotations
+    from fuzzy_search_spark.spark.job import match_documents
+
+    docs = _docs_parallel(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = match_documents(docs, _exact_model())
+    first = (
+        out.groupBy("url", "phrase").agg(F.min("offset").alias("offset"))
+        .withColumn("end", F.col("offset") + F.length("phrase"))
+        .withColumn("string", F.col("phrase"))
+    )
+    anno = to_web_annotations(first)
+    return (
+        anno.select(F.col("url").cast("bigint").alias("doc_id"),
+                    "offset", "annotation")
+        .orderBy("doc_id", "offset", "annotation")
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.textstats import token_stats
 
@@ -319,6 +343,52 @@ _ENTITY_PATTERNS = {
         "pattern": r"(?:merge|stream|filter) (?:batch|filter|join)",
         "type": "entity"},
 }
+
+
+def _context_pattern_specs() -> dict:
+    """The combined patterns-in-context registry shared by the Spark query
+    and the DuckDB oracle: the reference's four combinators (parity
+    semantics, including the '.{d}' literal-interpolation quirk) plus the
+    corrected-distance _near_ variants over corpus-appropriate base
+    patterns and the context word 'table'."""
+    from fuzzy_search_spark.patterns import (
+        context_near_pattern,
+        make_search_context_patterns,
+        pattern_near_context,
+    )
+
+    base = {
+        "subject": {"pattern": r"(?:query|scan|join)", "type": "entity"},
+        "verb": {"pattern": r"(?:merge|stream|filter)", "type": "entity"},
+    }
+    combined = make_search_context_patterns(
+        "table", list(base), pattern_definitions=base)
+    for name, spec in base.items():
+        combined.append(pattern_near_context(name, spec, "table", 10))
+        combined.append(context_near_pattern(name, spec, "table", 10))
+    return {spec["name"]: {"pattern": spec["pattern"],
+                           "type": spec.get("type") or "context"}
+            for spec in combined}
+
+
+_CONTEXT_PATTERN_SPECS = _context_pattern_specs()
+
+
+def q_patterns_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterns-in-context extraction (reference fuzzy_patterns.py:114-231
+    combinators): combined regexes built driver-side, ONE scan with a
+    regexp_extract_all projection per combined pattern, counted per doc."""
+    from fuzzy_search_spark.patterns import extract_patterns
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    out = extract_patterns(docs, patterns=_CONTEXT_PATTERN_SPECS)
+    return (
+        out.groupBy(F.col("url").cast("bigint").alias("doc_id"),
+                    "pattern_name", F.col("match").alias("match_text"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "pattern_name", "match_text")
+    )
 
 
 def q_regex_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_matches": q_context_matches,
         "template_matches": q_template_matches,
         "exact_match_counts": q_exact_match_counts,
+        "match_annotations": q_match_annotations,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -581,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "spelling_links": q_spelling_links,
         "regex_entities": q_regex_entities,
+        "patterns_in_context": q_patterns_in_context,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
@@ -792,6 +864,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN phrases
             WHERE length(text) <> length(replace(text, phrase, ''))
             ORDER BY doc_id, phrase
+        """,
+        "match_annotations": f"""
+            WITH phrases(phrase) AS (VALUES {_EXACT_PHRASE_VALUES}),
+            m AS (
+              SELECT d.doc_id, CAST(d.doc_id AS VARCHAR) AS url, p.phrase,
+                     strpos(d.text, p.phrase) - 1 AS "offset"
+              FROM documents d CROSS JOIN phrases p
+              WHERE strpos(d.text, p.phrase) > 0
+            )
+            SELECT doc_id, "offset",
+                   to_json(struct_pack(
+                     "@context" := 'http://www.w3.org/ns/anno.jsonld',
+                     id := md5(url || '|' || phrase || '|'
+                               || CAST("offset" AS VARCHAR) || '|'
+                               || CAST("offset" + length(phrase) AS VARCHAR)),
+                     "type" := 'Annotation',
+                     motivation := 'classifying',
+                     created := '1970-01-01T00:00:00Z',
+                     target := struct_pack(
+                       source := url,
+                       selector := [struct_pack(
+                         "type" := 'TextPositionSelector',
+                         start := "offset",
+                         "end" := "offset" + length(phrase))]),
+                     body := struct_pack(
+                       value := phrase,
+                       "type" := 'Dataset',
+                       exact := phrase)
+                   )) AS annotation
+            FROM m ORDER BY doc_id, "offset", annotation
         """,
         "token_stats": r"""
             SELECT doc_id,
@@ -1154,6 +1256,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(dot / (na.norm * nb.norm), 6) > 0.3
             ORDER BY drop_word, jump_word
         """,
+        "patterns_in_context": """
+            SELECT doc_id, pattern_name, match_text, count(*) AS n
+            FROM (
+              {parts}
+            )
+            GROUP BY 1, 2, 3
+            ORDER BY doc_id, pattern_name, match_text
+        """.format(parts=" UNION ALL ".join(
+            "SELECT doc_id, '{name}' AS pattern_name, "
+            "unnest(regexp_extract_all(text, '{pat}')) AS match_text "
+            "FROM documents".format(
+                name=name, pat=spec["pattern"].replace("'", "''"))
+            for name, spec in _CONTEXT_PATTERN_SPECS.items())),
         "regex_entities": """
             SELECT doc_id, pattern_name, pattern_type, match_text,
                    count(*) AS n

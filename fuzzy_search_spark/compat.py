@@ -19,6 +19,13 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Union
 
+from fuzzy_search_spark.doc import (  # noqa: F401  (re-exported surface)
+    CustomTokenizer,
+    Doc,
+    RegExTokenizer,
+    Token,
+    Tokenizer,
+)
 from fuzzy_search_spark.matcher import Match, find_matches
 from fuzzy_search_spark.model import CompiledModel, compile_model
 from fuzzy_search_spark.token_matcher import (
@@ -81,10 +88,23 @@ class PhraseMatchResult:
         }
 
 
-def _text_dict(text: Union[str, dict]) -> dict:
+def _text_dict(text: Union[str, dict, "Doc", list]) -> dict:
+    """Accept the reference's full input range (phrase_searcher.py:29-46 +
+    token_searcher.py:259-301): str, {'text','id'} dict, Doc, or a list of
+    Token objects (joined on their normalized strings)."""
+    from fuzzy_search_spark.doc import Doc, is_token_list
+
     if isinstance(text, str):
         return {"text": text, "id": None}
-    return {"text": text["text"], "id": text.get("id")}
+    if isinstance(text, Doc):
+        return {"text": text.text, "id": text.id, "tokens": text.tokens}
+    if is_token_list(text):
+        return {"text": " ".join(t.n for t in text), "id": None}
+    if isinstance(text, dict):
+        return {"text": text["text"], "id": text.get("id")}
+    raise TypeError(
+        f"text must be str, dict (with 'text' and 'id' properties), Doc "
+        f"or List[Token], not {type(text)}")
 
 
 class FuzzyPhraseSearcher:
@@ -97,7 +117,7 @@ class FuzzyPhraseSearcher:
         self.config = config or {}
         self.model: CompiledModel = compile_model(phrases, config)
 
-    def find_matches(self, text: Union[str, dict],
+    def find_matches(self, text: Union[str, dict, "Doc", list],
                      **_overrides) -> List[PhraseMatchResult]:
         doc = _text_dict(text)
         return [
@@ -117,11 +137,20 @@ class FuzzyTokenSearcher:
         self.model: TokenModel = compile_token_model(phrases, config,
                                                      vocabulary)
 
-    def find_matches(self, text: Union[str, dict]) -> List[PhraseMatchResult]:
+    def find_matches(self, text: Union[str, dict, "Doc", list]
+                     ) -> List[PhraseMatchResult]:
+        from fuzzy_search_spark.doc import is_token_list
+
+        pre_tokenized = None
+        if is_token_list(text):
+            pre_tokenized = text
         doc = _text_dict(text)
+        if pre_tokenized is None:
+            pre_tokenized = doc.get("tokens")  # Doc input carries its own
         return [
             PhraseMatchResult(m, doc["id"], False)
-            for m in find_token_matches(doc["text"], self.model)
+            for m in find_token_matches(doc["text"], self.model,
+                                        tokens=pre_tokenized)
         ]
 
 

@@ -51,6 +51,188 @@ PATTERN_DEFINITIONS: Dict[str, Dict[str, str]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Context combinators (reference pattern/fuzzy_patterns.py:114-231)
+# ---------------------------------------------------------------------------
+
+
+def escape_string(string: str) -> str:
+    """Escape regex metacharacters so a context string embeds literally
+    (reference fuzzy_patterns.py:238-252 — the reference's own list, NOT
+    re.escape: it also escapes '/' and skips ',' and '-')."""
+    for ch in ("\\", "/", "[", "]", "(", ")", "{", "}", "*", "?", "+",
+               ".", "|", "!", "^", "$"):
+        string = string.replace(ch, "\\" + ch)
+    return string
+
+
+def pattern_comma_then_context(name: str, pattern_definition: Dict,
+                               context_string: str) -> Dict:
+    """<pattern> ?, ?<context> (reference fuzzy_patterns.py:114-129)."""
+    return {
+        "name": name + "_comma_then_context",
+        "pattern": pattern_definition["pattern"] + " ?, ?" + context_string,
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+def context_then_pattern(name: str, pattern_definition: Dict,
+                         context_string: str) -> Dict:
+    """<context>,? <pattern> (reference fuzzy_patterns.py:132-145)."""
+    return {
+        "name": "context_then_" + name,
+        "pattern": context_string + ",? " + pattern_definition["pattern"],
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+def pattern_before_context(name: str, pattern_definition: Dict,
+                           context_string: str, max_distance: int = 10) -> Dict:
+    """<pattern>.{max_distance}<context> with the reference's literal
+    ``".{d}".format(d=...)`` interpolation (fuzzy_patterns.py:148-162) —
+    which yields ``.10`` (one char then the digits), NOT ``.{10}``.  Kept
+    byte-identical for parity; :func:`pattern_near_context` is the
+    intended-semantics variant."""
+    return {
+        "name": name + "_before_context",
+        "pattern": pattern_definition["pattern"]
+        + ".{d}".format(d=max_distance) + context_string,
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+def context_before_pattern(name: str, pattern_definition: Dict,
+                           context_string: str, max_distance: int = 10) -> Dict:
+    """<context>.{max_distance}<pattern>, same interpolation quirk as
+    :func:`pattern_before_context` (fuzzy_patterns.py:165-181)."""
+    return {
+        "name": "context_before_" + name,
+        "pattern": context_string + ".{d}".format(d=max_distance)
+        + pattern_definition["pattern"],
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+def pattern_near_context(name: str, pattern_definition: Dict,
+                         context_string: str, max_distance: int = 10) -> Dict:
+    """Corrected-semantics combinator: pattern then UP TO ``max_distance``
+    characters then context (what the reference's docstring describes;
+    its implementation interpolates the bound literally — see
+    :func:`pattern_before_context`)."""
+    return {
+        "name": name + "_near_context",
+        "pattern": pattern_definition["pattern"]
+        + ".{0,%d}" % max_distance + context_string,
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+def context_near_pattern(name: str, pattern_definition: Dict,
+                         context_string: str, max_distance: int = 10) -> Dict:
+    """Corrected-semantics mirror of :func:`context_before_pattern`."""
+    return {
+        "name": "context_near_" + name,
+        "pattern": context_string + ".{0,%d}" % max_distance
+        + pattern_definition["pattern"],
+        "group_indices": pattern_definition.get("group_indices"),
+        "type": pattern_definition.get("type"),
+    }
+
+
+CONTEXT_PATTERNS: Dict[str, Dict] = {
+    "person_name": {
+        "pattern_comma_then_context": pattern_comma_then_context,
+        "context_then_pattern": context_then_pattern,
+    },
+    "distance": {
+        "pattern_before_context": pattern_before_context,
+        "context_before_pattern": context_before_pattern,
+    },
+    "all": {
+        "pattern_comma_then_context": pattern_comma_then_context,
+        "context_then_pattern": context_then_pattern,
+        "pattern_before_context": pattern_before_context,
+        "context_before_pattern": context_before_pattern,
+    },
+}
+
+
+def list_context_pattern_types(context_type: str = None) -> List[str]:
+    """Names of the context combinators registered for a context type
+    (reference fuzzy_patterns.py:71-85)."""
+    context_type = context_type or "all"
+    if context_type not in CONTEXT_PATTERNS:
+        raise KeyError("Unknown context type")
+    return list(CONTEXT_PATTERNS[context_type])
+
+
+def get_context_patterns(context_type: str = None) -> Dict:
+    """The combinator-function dict for a context type (reference
+    fuzzy_patterns.py:199-215)."""
+    context_type = context_type or "all"
+    if context_type not in CONTEXT_PATTERNS:
+        raise KeyError("Unknown context type")
+    return CONTEXT_PATTERNS[context_type]
+
+
+def list_pattern_names(pattern_type: str = None) -> List[str]:
+    """Registered pattern names, optionally filtered by type."""
+    return [n for n, spec in PATTERN_DEFINITIONS.items()
+            if pattern_type is None or spec.get("type") == pattern_type]
+
+
+def get_search_patterns(pattern_type: str = None) -> Dict[str, Dict]:
+    """Registered pattern definitions as a dict, optionally filtered."""
+    return {n: spec for n, spec in PATTERN_DEFINITIONS.items()
+            if pattern_type is None or spec.get("type") == pattern_type}
+
+
+def make_search_context_patterns(context_string: str,
+                                 pattern_names: List[str],
+                                 context_patterns: Dict = None,
+                                 pattern_definitions: Dict = None) -> List[Dict]:
+    """Cross product of combinators x named patterns around one context
+    string (reference fuzzy_patterns.py:254-266); the context string is
+    escaped once up front."""
+    context_patterns = context_patterns or CONTEXT_PATTERNS["all"]
+    pattern_definitions = pattern_definitions or PATTERN_DEFINITIONS
+    context_string = escape_string(context_string)
+    out = []
+    for combinator in context_patterns.values():
+        for pattern_name in pattern_names:
+            out.append(combinator(pattern_name,
+                                  pattern_definitions[pattern_name],
+                                  context_string))
+    return out
+
+
+def extract_context_patterns(df: DataFrame, context_string: str,
+                             pattern_names: List[str],
+                             text_col: str = "text", id_col: str = "url",
+                             context_type: str = None,
+                             pattern_definitions: Dict = None) -> DataFrame:
+    """Distributed patterns-in-context extraction: build the combined
+    patterns driver-side (tiny), then ONE regexp_extract_all projection per
+    combined pattern — same single-scan union shape as
+    :func:`extract_patterns`."""
+    combined = make_search_context_patterns(
+        context_string, pattern_names,
+        get_context_patterns(context_type),
+        pattern_definitions)
+    patterns = {
+        spec["name"]: {"pattern": spec["pattern"],
+                       "type": spec.get("type") or "context"}
+        for spec in combined
+    }
+    return extract_patterns(df, text_col=text_col, patterns=patterns,
+                            id_col=id_col)
+
+
 def extract_patterns(df: DataFrame, text_col: str = "text",
                      patterns: Dict[str, Dict[str, str]] = None,
                      id_col: str = "url") -> DataFrame:

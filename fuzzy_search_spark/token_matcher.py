@@ -570,9 +570,28 @@ def _chain_partial_phrases(token_matches: List[TokenMatch],
 
 
 def find_token_matches(text: str, tm: TokenModel,
-                       text_id: Optional[str] = None) -> List[Match]:
-    """FuzzyTokenSearcher.find_matches (token_searcher.py:813-858)."""
-    tokens = _tokenize(text)
+                       text_id: Optional[str] = None,
+                       tokens: Optional[List] = None) -> List[Match]:
+    """FuzzyTokenSearcher.find_matches (token_searcher.py:813-858).
+
+    ``tokens`` feeds PRE-TOKENIZED input through (reference
+    get_text_tokens returns a Doc's own tokens / a Token list unchanged,
+    token_searcher.py:259-281): any objects with ``.n`` / ``.char_index``
+    (and optionally ``.char_end_index``) are accepted; match offsets then
+    refer to the caller's original document."""
+    if tokens is not None:
+        doc_len = len(text)
+        tokens = [
+            t if isinstance(t, Tok) else Tok(
+                n=t.n, index=i, char_index=t.char_index,
+                char_end_index=(
+                    t.char_end_index if getattr(t, "char_end_index", None)
+                    is not None
+                    else doc_len - (t.char_index + len(t.n) + 1)))
+            for i, t in enumerate(tokens)
+        ]
+    else:
+        tokens = _tokenize(text)
     token_matches = _find_token_matches(tokens, tm)
     candidates = _chain_partial_phrases(token_matches, tm)
 

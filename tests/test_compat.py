@@ -69,3 +69,73 @@ def test_template_searcher_facade():
     assert len(got) == 1
     assert [m.label for m in got[0].phrase_matches] == [
         "broker_term", "auction_sale"]
+
+
+def test_doc_and_token_list_inputs():
+    """Doc and List[Token] inputs flow through both searchers (reference
+    phrase_searcher.py:29-46 / token_searcher.py:259-301 input range)."""
+    from fuzzy_search_spark.compat import Tokenizer
+
+    tok = Tokenizer()
+    doc = tok.tokenize_doc(TEXT1, doc_id="d1")
+
+    phrase = FuzzyPhraseSearcher(phrase_list=README_PHRASES,
+                                 config=README_CONFIG)
+    via_doc = phrase.find_matches(doc)
+    via_str = phrase.find_matches({"text": TEXT1, "id": "d1"})
+    assert [(m.string, m.offset) for m in via_doc] == \
+        [(m.string, m.offset) for m in via_str]
+    assert via_doc[0].text_id == "d1"
+
+    token = FuzzyTokenSearcher(phrase_list=["best test case"])
+    text = "This is a best test case"
+    tdoc = tok.tokenize_doc(text, doc_id="t")
+    via_doc = token.find_matches(tdoc)
+    via_list = token.find_matches(tok.tokenize(text))
+    via_str = token.find_matches(text)
+    assert [(m.string, m.offset) for m in via_doc] == \
+        [(m.string, m.offset) for m in via_str] == \
+        [(m.string, m.offset) for m in via_list]
+    assert via_doc and via_doc[0].string == "best test case"
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        phrase.find_matches(42)
+
+
+def test_doc_parity_with_reference():
+    """Pre-tokenized Docs produce identical matches from both engines."""
+    import sys
+
+    sys.path.insert(0, "tests/oracle_shims")
+    sys.path.insert(0, "/root/reference")
+    from fuzzy_search.search.phrase_searcher import (
+        FuzzyPhraseSearcher as RefSearcher,
+    )
+    from fuzzy_search.search.token_searcher import (
+        FuzzyTokenSearcher as RefTokenSearcher,
+    )
+    from fuzzy_search.tokenization.token import Tokenizer as RefTokenizer
+
+    from fuzzy_search_spark.compat import Tokenizer
+
+    ref = RefSearcher(phrase_list=README_PHRASES, config=README_CONFIG)
+    mine = FuzzyPhraseSearcher(phrase_list=README_PHRASES,
+                               config=README_CONFIG)
+    ref_doc = RefTokenizer().tokenize_doc(TEXT1, doc_id="d1")
+    my_doc = Tokenizer().tokenize_doc(TEXT1, doc_id="d1")
+    ref_out = [(m.string, m.offset, m.end, m.levenshtein_similarity)
+               for m in ref.find_matches(ref_doc)]
+    my_out = [(m.string, m.offset, m.end, m.levenshtein_similarity)
+              for m in mine.find_matches(my_doc)]
+    assert my_out == ref_out
+
+    text = "This is a best test case with best tesst overlap"
+    rtok = RefTokenSearcher(phrase_list=["best test case"])
+    mtok = FuzzyTokenSearcher(phrase_list=["best test case"])
+    ref_out = [(m.string, m.offset) for m in
+               rtok.find_matches(RefTokenizer().tokenize_doc(text, doc_id="x"))]
+    my_out = [(m.string, m.offset) for m in
+              mtok.find_matches(Tokenizer().tokenize_doc(text, doc_id="x"))]
+    assert my_out == ref_out
