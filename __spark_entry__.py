@@ -518,11 +518,17 @@ def _vocab_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skipgram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SkipgramSimilarity top-5 (trigram cosine within a +/-2 length band)."""
-    from fuzzy_search_spark.analysis.similarity import skipgram_similarity_topk
+    """SkipgramSimilarity top-5 (trigram cosine within a +/-2 length band).
 
-    return skipgram_similarity_topk(_vocab_terms(spark, sf_dir), k=5) \
-        .orderBy("term", "rank")
+    Uses the BUCKETED variant — the length band is the join key, so a hot
+    gram cannot fan out quadratically inside one shuffle key (identical
+    output; see skipgram_similarity_topk_bucketed)."""
+    from fuzzy_search_spark.analysis.similarity import (
+        skipgram_similarity_topk_bucketed,
+    )
+
+    return skipgram_similarity_topk_bucketed(
+        _vocab_terms(spark, sf_dir), k=5).orderBy("term", "rank")
 
 
 def q_close_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,6 +106,63 @@ def skipgram_similarity_topk(terms_df: DataFrame, term_col: str = "term",
     )
 
 
+def skipgram_similarity_topk_bucketed(terms_df: DataFrame,
+                                      term_col: str = "term",
+                                      k: int = 5, ngram_size: int = 3,
+                                      skip_size: int = 0,
+                                      max_length_diff: int = 2) -> DataFrame:
+    """Identical output to :func:`skipgram_similarity_topk`, but the
+    length band is part of the JOIN KEY instead of a post-join predicate
+    — mirroring the reference's per-length index buckets
+    (similarity.py:316-330).
+
+    Why: joining on raw gram equality fans a hot gram (think "the" inside
+    a web-corpus vocabulary) out quadratically within one join key.  Here
+    side B's gram rows are replicated into the 2*max_length_diff+1
+    neighboring length keys and the join runs on (gram, length) — a hot
+    gram's candidates split across term lengths, so per-key fanout is
+    bounded by the per-length gram frequency and the shuffle key spreads
+    (constant-factor 2d+1 replication buys quadratic-fanout relief).  The
+    pair set is exactly the band predicate, so dot products, cosines and
+    ranks are unchanged."""
+    grams = char_skipgram_counts(terms_df, term_col, ngram_size, skip_size)
+    norms = grams.groupBy(term_col).agg(
+        F.sqrt(F.sum(F.col("freq") * F.col("freq"))).alias("norm"))
+    a = grams.select(F.col(term_col).alias("term_a"), "gram",
+                     F.col("freq").alias("freq_a"),
+                     F.length(term_col).alias("len_key"))
+    b = grams.select(
+        F.col(term_col).alias("term_b"), "gram",
+        F.col("freq").alias("freq_b"),
+        F.explode(F.sequence(
+            F.length(term_col) - max_length_diff,
+            F.length(term_col) + max_length_diff)).alias("len_key"))
+    dots = (
+        a.join(b, ["gram", "len_key"])
+        .filter(F.col("term_a") != F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.sum(F.col("freq_a") * F.col("freq_b")).alias("dot"))
+    )
+    na = norms.select(F.col(term_col).alias("term_a"),
+                      F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(term_col).alias("term_b"),
+                      F.col("norm").alias("norm_b"))
+    cos = (
+        dots.join(na, "term_a").join(nb, "term_b")
+        .select(
+            F.col("term_a").alias("term"),
+            F.col("term_b").alias("similar_term"),
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6)
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("cosine"), "similar_term")
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def close_term_pairs(terms_df: DataFrame, term_col: str = "term",
                      max_distance: int = 2,
                      max_length_diff: Optional[int] = None) -> DataFrame:

@@ -89,10 +89,18 @@ def frequency_change(corpus1: DataFrame, corpus2: DataFrame,
 def spelling_shifts(corpus1: DataFrame, corpus2: DataFrame,
                     text_col: str = "text", min_freq: int = 5,
                     similarity_threshold: float = 0.5,
-                    max_length_diff: int = 2) -> DataFrame:
+                    max_length_diff: int = 2,
+                    similarity_df: DataFrame = None) -> DataFrame:
     """Link dropped words to similar risen words: (drop_word, jump_word,
     drop_level, jump_level, similarity, change_type) where change_type is
-    'replace' for disappeared words and 'shift' for decreased ones."""
+    'replace' for disappeared words and 'shift' for decreased ones.
+
+    ``similarity_df`` restores the reference's trained-embedding linking
+    (spelling_compare.py:200-259, where drop->jump similarity comes from
+    an external word2vec model): pass (term_a, term_b, similarity) pairs
+    — e.g. embedding cosines — and they replace the built-in
+    skipgram-cosine computation.  Pairs are looked up in both
+    orientations (similarity is symmetric)."""
     from fuzzy_search_spark.analysis.similarity import char_skipgram_counts
 
     # no cache: drops/jumps branch from the same aggregation subtree, which
@@ -106,6 +114,26 @@ def spelling_shifts(corpus1: DataFrame, corpus2: DataFrame,
         F.col("change_level").isin("increase", "emerge")).select(
         F.col("word").alias("jump_word"),
         F.col("change_level").alias("jump_level"))
+    if similarity_df is not None:
+        both = similarity_df.select(
+            F.col("term_a").alias("drop_word"),
+            F.col("term_b").alias("jump_word"), "similarity"
+        ).unionAll(similarity_df.select(
+            F.col("term_b").alias("drop_word"),
+            F.col("term_a").alias("jump_word"), "similarity"))
+        sims = (
+            drops.join(both, "drop_word").join(jumps, "jump_word")
+            .filter(F.abs(F.length("drop_word") - F.length("jump_word"))
+                    <= max_length_diff)
+            .filter(F.col("similarity") > similarity_threshold)
+            .groupBy("drop_word", "jump_word", "drop_level", "jump_level")
+            .agg(F.max("similarity").alias("similarity"))
+        )
+        change_type = F.when(F.col("drop_level") == "disappear", "replace") \
+            .otherwise("shift")
+        return sims.select("drop_word", "jump_word", "drop_level",
+                           "jump_level", "similarity",
+                           change_type.alias("change_type"))
     terms = drops.select(F.col("drop_word").alias("term")).unionAll(
         jumps.select(F.col("jump_word").alias("term"))).distinct()
     grams = char_skipgram_counts(terms, "term", ngram_size=3, skip_size=0)

@@ -455,3 +455,64 @@ def test_cli_chunk_chars_forwarded(spark, pages_path, tmp_path):
     b = sorted(map(tuple, spark.read.parquet(
         os.path.join(out_chunked, "matches")).select(cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_skipgram_similarity_bucketed_identical_and_debuckets_hot_grams(spark):
+    """The (gram, length)-keyed variant returns exactly the banded
+    variant's output, and a hot gram's join-key fanout drops because its
+    candidates split across term lengths."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.analysis.similarity import (
+        char_skipgram_counts,
+        skipgram_similarity_topk,
+        skipgram_similarity_topk_bucketed,
+    )
+
+    # a hot trigram 'the' spread over many lengths + assorted other terms
+    terms = ([f"the{'x' * i}" for i in range(12)]
+             + [f"{'y' * i}the" for i in range(12)]
+             + ["cat", "cart", "chart", "charts", "smart", "start"])
+    df = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    banded = {(r["term"], r["rank"]): (r["similar_term"], r["cosine"])
+              for r in skipgram_similarity_topk(df, k=4).collect()}
+    bucketed = {(r["term"], r["rank"]): (r["similar_term"], r["cosine"])
+                for r in skipgram_similarity_topk_bucketed(df, k=4).collect()}
+    assert banded == bucketed and len(bucketed) > 0
+
+    grams = char_skipgram_counts(df)
+    hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")) \
+        .agg(F.max("n")).head()[0]
+    hot_bucketed = grams.groupBy("gram", F.length("term").alias("l")) \
+        .agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).head()[0]
+    # the hottest raw gram key concentrates >= 3x more rows than any
+    # (gram, length) key -> per-key quadratic fanout shrinks >= 9x
+    assert hot >= 3 * hot_bucketed
+
+
+def test_spelling_shifts_similarity_injection(spark):
+    """An injected (term_a, term_b, similarity) table — the reference's
+    external-embedding hook — replaces the built-in skipgram cosine and is
+    honored in both orientations."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.analysis.spelling import spelling_shifts
+
+    c1 = spark.createDataFrame(
+        [(i, "aleph aleph aleph bet bet gimel") for i in range(6)],
+        "doc_id long, text string")
+    c2 = spark.createDataFrame(
+        [(i, "alef alef alef bet bet gimel") for i in range(6)],
+        "doc_id long, text string")
+    sims = spark.createDataFrame(
+        [("alef", "aleph", 0.9), ("gimel", "dalet", 0.8)],
+        "term_a string, term_b string, similarity double")
+    out = spelling_shifts(c1, c2, min_freq=1, similarity_threshold=0.5,
+                          similarity_df=sims).collect()
+    assert [(r["drop_word"], r["jump_word"], r["similarity"],
+             r["change_type"]) for r in out] == [
+        ("aleph", "alef", 0.9, "replace")]
+    # below-threshold pairs drop out
+    none = spelling_shifts(c1, c2, min_freq=1, similarity_threshold=0.95,
+                           similarity_df=sims)
+    assert none.count() == 0
