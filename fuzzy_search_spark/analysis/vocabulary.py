@@ -14,11 +14,12 @@ Two layers here:
   so lexicographic rank is the stable id scheme (documented divergence; the
   mapping is still bijective, which is all the reference's callers need).
 
-Scale note: dense global ranks are assigned with
-``repartitionByRange -> sortWithinPartitions -> zipWithIndex`` instead of a
-``Window.orderBy`` with no partition key — the window form funnels every
-distinct term of a web corpus through ONE task, while zipWithIndex keeps
-the sort parallel and adds only a lightweight per-partition-count job.
+Scale note: dense global ranks are assigned via prefix buckets — a
+window PARTITIONED by the term's leading characters plus a running-sum
+offset over the tiny per-bucket-count table — instead of a
+``Window.orderBy`` with no partition key, which would funnel every
+distinct term of a web corpus through ONE task.  All JVM-side (no RDD /
+Python pass), deterministic, single shuffle over the terms.
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ from __future__ import annotations
 from typing import Iterable, List, Optional, Union
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 try:  # TokenSpan is the repo's Token analog; accept it like the reference
     from fuzzy_search_spark.kernels.tokenize import TokenSpan
@@ -127,30 +127,40 @@ def term_frequencies(df: DataFrame, text_col: str = "text",
 
 def vocabulary_table(df: DataFrame, text_col: str = "text",
                      lowercase: bool = True,
-                     num_partitions: Optional[int] = None) -> DataFrame:
-    """``(term_id, term, freq)`` with dense lexicographic ids, scale-safe.
+                     prefix_len: int = 2) -> DataFrame:
+    """``(term_id, term, freq)`` with dense lexicographic ids, scale-safe
+    and fully JVM-side.
 
-    The global rank is produced by a range-repartitioned parallel sort and
-    ``zipWithIndex`` (per-partition offsets), NOT a partition-less window:
-    the physical plan contains no single-partition WindowExec, so a
-    billion-term web vocabulary sorts across the cluster instead of through
-    one task.
+    Dense global ranks WITHOUT a partition-less window and WITHOUT an RDD
+    pass (zipWithIndex drags every row through Python pickling): terms are
+    bucketed by their ``prefix_len``-char prefix — prefix order is
+    consistent with term order, so global rank = bucket offset + rank
+    within bucket.  Local ranks use a window PARTITIONED by bucket
+    (parallel); bucket offsets come from a running sum over the tiny
+    (bucket, count) table — the only single-task window touches one row
+    per distinct prefix, never the vocabulary itself.  Deterministic by
+    construction (no sampled range boundaries), so the two branches can
+    recompute safely inside one DAG.
     """
+    from pyspark.sql import Window
+
     terms = term_frequencies(df, text_col=text_col, lowercase=lowercase)
-    if num_partitions is None:
-        num_partitions = terms.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        terms.repartitionByRange(num_partitions, "term")
-        .sortWithinPartitions("term")
+    bucketed = terms.withColumn("_bkt", F.substring("term", 1, prefix_len))
+    local = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy("term"))
+    offsets = (
+        bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(
+            Window.orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+        .select("_bkt", "_off")
     )
-    schema = StructType([
-        StructField("term_id", LongType(), False),
-        StructField("term", StringType(), True),
-        StructField("freq", LongType(), True),
-    ])
-    indexed = ordered.rdd.zipWithIndex().map(
-        lambda pair: (pair[1], pair[0]["term"], pair[0]["freq"]))
-    return terms.sparkSession.createDataFrame(indexed, schema)
+    return (
+        bucketed.withColumn("_local", local)
+        .join(F.broadcast(offsets), "_bkt")
+        .select((F.col("_off") + F.col("_local") - 1).alias("term_id"),
+                "term", "freq")
+    )
 
 
 def vocabulary_from_df(df: DataFrame, text_col: str = "text",

@@ -363,10 +363,11 @@ def test_cli_entry_point(spark, pages_path, tmp_path):
     assert spark.read.parquet(out2).count() > 0
 
 
-def test_vocabulary_table_dense_ids_no_window(spark):
-    """Vocabulary dense ids are lexicographic ranks and the plan avoids a
-    partition-less WindowExec (scale guard: a global window funnels the
-    whole vocabulary through one task)."""
+def test_vocabulary_table_dense_ids_no_global_window(spark):
+    """Vocabulary dense ids are lexicographic ranks; the vocabulary itself
+    never flows through a single-partition window or an RDD/Python pass —
+    the only SinglePartition exchange feeds the tiny per-prefix-bucket
+    count table (scale guard)."""
     from fuzzy_search_spark.analysis.vocabulary import vocabulary_table
 
     docs = spark.createDataFrame(
@@ -380,7 +381,12 @@ def test_vocabulary_table_dense_ids_no_window(spark):
     freqs = {r["term"]: r["freq"] for r in rows}
     assert freqs["the"] == 3 and freqs["cat"] == 2 and freqs["race"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    # the row_number window over the full term set must be partitioned
+    assert "row_number() windowspecdefinition(_bkt" in plan
+    # exactly one SinglePartition exchange: the bucket-count running sum
+    assert plan.count("Exchange SinglePartition") == 1
+    # no RDD/Python pass in the id assignment
+    assert "PythonRDD" not in plan and "MapPartitions" not in plan
 
 
 def test_vocabulary_round_trip(spark):
