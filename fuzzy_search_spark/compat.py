@@ -26,13 +26,31 @@ from fuzzy_search_spark.doc import (  # noqa: F401  (re-exported surface)
     Token,
     Tokenizer,
 )
+from fuzzy_search_spark.config import PUBLISHED_DEFAULT_CONFIG
 from fuzzy_search_spark.matcher import Match, find_matches
 from fuzzy_search_spark.model import CompiledModel, compile_model
+from fuzzy_search_spark.phrase_model import (  # noqa: F401  (re-exported)
+    Phrase,
+    PhraseModel,
+)
 from fuzzy_search_spark.token_matcher import (
     TokenModel,
     compile_token_model,
     find_token_matches,
 )
+
+#: the reference's published defaults (`fuzzy_search.default_config`)
+default_config = dict(PUBLISHED_DEFAULT_CONFIG)
+
+
+def _phrases_arg(phrase_list, phrase_model):
+    """Reference constructors accept phrase strings/dicts OR a PhraseModel;
+    normalize to the dict list the engine compiler takes."""
+    if phrase_list is not None:
+        return phrase_list
+    if isinstance(phrase_model, PhraseModel):
+        return phrase_model.to_model_dicts()
+    return phrase_model or []
 
 
 class PhraseWrapper:
@@ -111,9 +129,9 @@ class FuzzyPhraseSearcher:
     """Reference FuzzyPhraseSearcher-compatible entry point."""
 
     def __init__(self, phrase_list: Optional[List] = None,
-                 phrase_model: Optional[List[dict]] = None,
+                 phrase_model: Union[List[dict], PhraseModel, None] = None,
                  config: Optional[dict] = None):
-        phrases = phrase_list if phrase_list is not None else (phrase_model or [])
+        phrases = _phrases_arg(phrase_list, phrase_model)
         self.config = config or {}
         self.model: CompiledModel = compile_model(phrases, config)
 
@@ -130,10 +148,10 @@ class FuzzyTokenSearcher:
     """Reference FuzzyTokenSearcher-compatible entry point."""
 
     def __init__(self, phrase_list: Optional[List] = None,
-                 phrase_model: Optional[List[dict]] = None,
+                 phrase_model: Union[List[dict], PhraseModel, None] = None,
                  config: Optional[dict] = None,
                  vocabulary: Optional[List[str]] = None):
-        phrases = phrase_list if phrase_list is not None else (phrase_model or [])
+        phrases = _phrases_arg(phrase_list, phrase_model)
         self.model: TokenModel = compile_token_model(phrases, config,
                                                      vocabulary)
 
@@ -219,5 +237,11 @@ class FuzzyTemplateSearcher(FuzzyPhraseSearcher):
 
 
 def make_searcher(phrases, config=None) -> FuzzyPhraseSearcher:
-    """Reference fuzzy_search.make_searcher equivalent."""
-    return FuzzyPhraseSearcher(phrase_list=phrases, config=config)
+    """Reference fuzzy_search.make_searcher (fuzzy_search/__init__.py:17-29):
+    build a PhraseModel, then a searcher around it."""
+    phrase_model = PhraseModel(phrases, config=config)
+    return FuzzyPhraseSearcher(phrase_model=phrase_model, config=config)
+
+
+#: reference alias — `from fuzzy_search import PhraseMatch`
+PhraseMatch = PhraseMatchResult

@@ -68,6 +68,7 @@ PUBLISHED_DEFAULT_CONFIG = {
     "skip_exact_matching": False,
     "allow_overlapping_matches": False,
     "punctuation": string.punctuation,
+    "debug": False,
 }
 
 DEFAULT_CONFIG = SearchConfig()
