@@ -244,6 +244,17 @@ def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup groups: connected components (iterative min-label
+    propagation, localCheckpointed rounds) over the verified near-dup
+    pairs — transitively linked docs collapse to one group keyed by the
+    smallest member."""
+    from fuzzy_search_spark.pipeline.dedup import near_dup_groups
+
+    return near_dup_groups(_docs(spark, sf_dir)).orderBy("group_id",
+                                                         "doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
     from fuzzy_search_spark.pipeline.dedup import simhash64_portable
@@ -640,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_duplicates": q_near_duplicates,
+        "near_dup_groups": q_near_dup_groups,
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -769,6 +781,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE i / (na.n + nb.n - i) >= 0.5
         ORDER BY id_a, id_b
     """
+
+    # connected components over the verified near-dup pairs: recursive
+    # label reachability, min label per node = component id (diameter of
+    # near-dup clusters is tiny, so the recursion is shallow)
+    near_dup_groups_sql = near_dups_verified.replace(
+        "WITH ", "WITH RECURSIVE ", 1).replace(
+        """
+        SELECT id_a, id_b, n_bands,
+               round(i / (na.n + nb.n - i), 6) AS jaccard
+        FROM inter JOIN sizes na ON id_a = na.doc_id
+                   JOIN sizes nb ON id_b = nb.doc_id
+        WHERE i / (na.n + nb.n - i) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+        """
+        , verified AS (
+          SELECT id_a, id_b
+          FROM inter JOIN sizes na ON id_a = na.doc_id
+                     JOIN sizes nb ON id_b = nb.doc_id
+          WHERE i / (na.n + nb.n - i) >= 0.5
+        ), cc_edges AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM verified
+        ), reach(node, label) AS (
+          SELECT a, a FROM cc_edges
+          UNION
+          SELECT e.b, r.label FROM reach r JOIN cc_edges e ON e.a = r.node
+        ), cc AS (
+          SELECT node AS doc_id, min(label) AS group_id
+          FROM reach GROUP BY node
+        )
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM cc ORDER BY group_id, doc_id
+    """)
 
     simhash_bits = 60
     simhash_votes = ", ".join(
@@ -968,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": minhash_sig + " ORDER BY doc_id",
         "minhash_lsh_pairs": lsh_pairs,
         "near_duplicates": near_dups_verified,
+        "near_dup_groups": near_dup_groups_sql,
         "simhash": simhash_sql,
         "ngram_jaccard_pairs": ngram_jaccard,
         "embedding_near_dup": """

@@ -303,3 +303,75 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(pairs_df: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """(node, label) connected components over an undirected pair set by
+    iterative min-label propagation: every node starts labeled with
+    itself, and each round takes the min over its neighbors' labels.
+
+    Scale shape: one join + one hash aggregation per round, converging in
+    O(component diameter) rounds — near-duplicate clusters are dense
+    template groups whose diameter is tiny (a star is 2).  Each round is
+    localCheckpoint()ed so the lineage does not grow with iterations (the
+    classic iterative-Spark failure mode), and the convergence check is a
+    single count of changed labels.  ``max_iterations`` bounds pathological
+    chains; the loop exits early on fixpoint."""
+    edges = pairs_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("b"),
+                                     F.col("label").alias("nbr_label")), "b")
+            .groupBy("a").agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr.select(F.col("a").alias("node"), "nbr_min"),
+                        "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nbr_min"), F.col("label")))
+                    .alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select(F.col("node"), F.col("label").alias("new"))
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("label")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    num_hashes: int = 8, bands: int = 4,
+                    threshold: float = 0.5) -> DataFrame:
+    """Canonical near-duplicate groups: (doc_id, group_id, group_size).
+
+    The full production dedup chain — MinHash-LSH candidates, exact
+    Jaccard verification, then connected components over the verified
+    pairs — so transitively-linked documents land in one group whose id
+    is the smallest member (the canonical representative a pipeline
+    keeps).  Only documents that appear in at least one verified pair are
+    returned; the non-duplicate majority never enters the component
+    computation."""
+    from pyspark.sql import Window
+
+    pairs = near_duplicates(df, id_col, text_col, k, num_hashes, bands,
+                            threshold)
+    cc = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    w = Window.partitionBy("group_id")
+    return cc.withColumn("group_size", F.count(F.lit(1)).over(w))

@@ -163,3 +163,36 @@ def test_near_duplicates_composite(spark):
         assert n_bands == cands[(ia, ib)]
     # the exact duplicate pair must survive end to end
     assert (1, 4) in got and got[(1, 4)][1] == 1.0
+
+
+def test_connected_components_transitive(spark):
+    """Min-label propagation merges multi-hop chains (needs >1 round) and
+    labels every component by its smallest member."""
+    from fuzzy_search_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (5, 6),      # a 5-node chain
+         (10, 11),                            # a simple pair
+         (20, 21), (22, 21)],                 # a star around 21
+        "id_a long, id_b long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_groups_shapes(spark):
+    """Transitively-linked near-identical docs collapse into one group."""
+    from fuzzy_search_spark.pipeline.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, base + " nu"),
+         (50, "completely different words entirely here now")],
+        "doc_id long, text string")
+    rows = near_dup_groups(docs, threshold=0.5).collect()
+    groups = {r["doc_id"]: (r["group_id"], r["group_size"]) for r in rows}
+    assert set(groups) == {1, 2, 3}  # the singleton never appears
+    assert {g for g, _ in groups.values()} == {1}
+    assert all(s == 3 for _, s in groups.values())
