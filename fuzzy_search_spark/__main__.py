@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--token-mode", action="store_true",
                    help="use the token-level pipeline (the fast path for "
                         "large phrase models; slightly less exhaustive)")
+    p.add_argument("--format", dest="table_format", default="parquet",
+                   choices=["parquet", "iceberg"],
+                   help="input/output table format; 'iceberg' needs the "
+                        "Iceberg Spark runtime + catalog on the cluster")
     return p
 
 
@@ -75,12 +79,16 @@ def main(argv=None, spark=None) -> dict:
         if args.chunk_chars:
             print("warning: --chunk-chars applies to the phrase pipeline "
                   "only; ignored in --token-mode", file=sys.stderr)
+        from fuzzy_search_spark.spark.job import read_pages
+
         tmodel = compile_token_model(phrases, config)
-        df = spark.read.parquet(args.input)
+        df = read_pages(spark, args.input, args.table_format)
+        from fuzzy_search_spark.spark.job import write_matches
+
         out = match_documents_tokens(
             df, tmodel, url_col=args.url_col, text_col=args.text_col,
             html_col=args.html_col or None)
-        out.write.mode("overwrite").parquet(args.output)
+        write_matches(out, args.output, args.table_format)
         summary = {"mode": "token", "output": args.output}
     else:
         from fuzzy_search_spark.model import compile_model
@@ -94,7 +102,8 @@ def main(argv=None, spark=None) -> dict:
             resume=not args.no_resume,
             url_col=args.url_col, text_col=args.text_col,
             html_col=args.html_col or None,
-            chunk_chars=args.chunk_chars)
+            chunk_chars=args.chunk_chars,
+            table_format=args.table_format)
         summary["mode"] = "phrase"
     print(json.dumps(summary))
     return summary

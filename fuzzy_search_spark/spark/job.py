@@ -45,6 +45,44 @@ from fuzzy_search_spark.extract import extract_html
 from fuzzy_search_spark.matcher import find_matches
 from fuzzy_search_spark.model import CompiledModel
 
+def read_pages(spark: SparkSession, input_path: str,
+               table_format: str = "parquet") -> DataFrame:
+    """Read the web-pages table.  ``table_format``:
+
+    - ``parquet`` (default): a parquet directory path.
+    - ``iceberg``: an Iceberg table identifier (``catalog.db.table``) or
+      path, read via the Iceberg Spark runtime.  The sandbox ships no
+      Iceberg jars, so this branch is exercised only on clusters whose
+      session carries the Iceberg catalog config; the plan shape
+      (scan -> narrow map -> write) is identical, plus snapshot-based
+      incremental reads become available upstream of this function.
+    """
+    if table_format == "iceberg":
+        try:
+            if "/" in input_path:
+                return spark.read.format("iceberg").load(input_path)
+            return spark.read.table(input_path)
+        except Exception as exc:  # pragma: no cover - needs iceberg jars
+            raise RuntimeError(
+                "table_format='iceberg' needs the Iceberg Spark runtime on "
+                "the cluster (org.apache.iceberg:iceberg-spark-runtime) and "
+                "a configured catalog") from exc
+    if table_format != "parquet":
+        raise ValueError(f"unknown table_format {table_format!r}")
+    return spark.read.parquet(input_path)
+
+
+def write_matches(matches: DataFrame, target: str,
+                  table_format: str = "parquet") -> None:
+    """Write one group's matches.  Parquet writes a directory; Iceberg
+    appends to a partitioned table (idempotence comes from the job-level
+    manifest: a committed group is never re-run)."""
+    if table_format == "iceberg":
+        matches.writeTo(target).append()
+        return
+    matches.write.mode("overwrite").parquet(target)
+
+
 MATCH_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("phrase", T.StringType()),
@@ -220,7 +258,8 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
                        resume: bool = True,
                        url_col: str = "url", text_col: str = "text",
                        html_col: Optional[str] = "html",
-                       chunk_chars: Optional[int] = None) -> dict:
+                       chunk_chars: Optional[int] = None,
+                       table_format: str = "parquet") -> dict:
     """End-to-end resumable job: read -> (extract) -> match -> write.
 
     Output layout:
@@ -241,7 +280,7 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
                 if entry.get("fingerprint") == fingerprint:
                     done.add(entry["group"])
 
-    df = spark.read.parquet(input_path)
+    df = read_pages(spark, input_path, table_format)
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism * 2
     group_expr = F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_groups))
@@ -258,8 +297,13 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
         matches = match_documents(part, model, url_col=url_col,
                                   text_col=text_col, html_col=html_col,
                                   chunk_chars=chunk_chars, metrics_acc=acc)
-        group_dir = os.path.join(output_path, "matches", f"group={group}")
-        matches.write.mode("overwrite").parquet(group_dir)
+        if table_format == "iceberg":
+            write_matches(matches.withColumn("group", F.lit(group)),
+                          output_path, table_format)
+        else:
+            group_dir = os.path.join(output_path, "matches",
+                                     f"group={group}")
+            write_matches(matches, group_dir)
         wall = time.monotonic() - t0
 
         partition_metrics = [

@@ -112,3 +112,24 @@ def stream_sessionize(events_stream: DataFrame,
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(pages_stream: DataFrame, ts_col: str = "warc_ts",
+                 text_col: str = "text", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: keep the first arrival of each content hash
+    within the watermark horizon (recrawls and mirror fetches of the same
+    page body are dropped before the expensive match stage).
+
+    Shape: content hash (md5 of the text — cheap, JVM-side) +
+    ``dropDuplicatesWithinWatermark``, so the dedup state store evicts
+    hashes once the watermark passes them — bounded state at web scale,
+    unlike an unwatermarked dropDuplicates whose state grows forever.
+    Exactness is within the horizon by design: a recrawl a month later is
+    a new row (usually the desired semantics for refreshed crawls; widen
+    the watermark to tighten it)."""
+    hashed = pages_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("text_hash")
+    )

@@ -100,3 +100,34 @@ def test_stream_sessionize_state_across_batches(spark, tmp_path):
     late.coalesce(1).write.parquet(path + "/f=1")
     got = _run_stream(spark, path + "/f=*", "sess_split")
     assert got == _batch_expected(spark, events)
+
+
+def test_stream_dedup_drops_recrawls(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per content hash within
+    the horizon; distinct bodies pass through."""
+    import shutil as _shutil
+
+    from fuzzy_search_spark.streaming import WEB_PAGES_DDL, stream_dedup
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("u1", t0, None, "same body", "en"),
+        ("u2", t0 + dt.timedelta(minutes=5), None, "same body", "en"),
+        ("u3", t0 + dt.timedelta(minutes=10), None, "different body", "en"),
+    ]
+    spark.createDataFrame(rows, WEB_PAGES_DDL) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (spark.readStream.schema(WEB_PAGES_DDL).parquet(str(src)))
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (stream_dedup(stream).writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["different body", "same body"]
+    _shutil.rmtree(chk, ignore_errors=True)
