@@ -178,7 +178,7 @@ class _Partial:
         return best_idx > 0
 
 
-def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
+def _sweep_candidates(cp: CompiledPhrase, grams, text: str,
                       skipgram_threshold: float, mlv: int,
                       gap_limit: int) -> List[_Candidate]:
     """Sequential sweep over one phrase's matched grams (text order),
@@ -186,12 +186,26 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
 
     This is the hottest loop at web scale, so the partial-candidate state
     machine (the reference's CandidatePartial, candidate_match.py:92-329)
-    is inlined and expressed as a two-pointer window over ``grams``: all
-    pointer movements (front evictions, shift_start pops) are monotone, so
-    the sweep is O(n) with no list mutation.  Semantics are pinned by the
-    differential parity suite and tests/test_sweep_equivalence.py.
+    is inlined and expressed as a two-pointer window over the gram stream:
+    all pointer movements (front evictions, shift_start pops) are
+    monotone, so the sweep is O(n) with no list mutation.  Semantics are
+    pinned by the differential parity suite and
+    tests/test_sweep_equivalence.py.
+
+    ``grams`` is either a (keys, starts, lens) triple of parallel lists
+    (the vectorized accumulator's native output — no per-gram tuple
+    objects) or a list of (key, start, len) tuples (the scanner/spec
+    shape), converted here.
     """
-    if not grams:
+    if isinstance(grams, tuple):
+        gk, gs, gl = grams
+    else:
+        if not grams:
+            return []
+        gk = [g[0] for g in grams]
+        gs = [g[1] for g in grams]
+        gl = [g[2] for g in grams]
+    if not gk:
         return []
     candidates: List[_Candidate] = []
     early = cp.early
@@ -203,7 +217,7 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
     max_len = name_len + mlv
     low_len = cp.late_threshold - mlv
     gram_set_size = len(cp.gram_set)  # overlap compared as a ratio, same
-    last = len(grams) - 1             # float expression as the reference
+    last = len(gk) - 1                # float expression as the reference
 
     # window state: the partial is grams[h..ci] (empty when h > ci);
     # gcount keeps zero-count entries after eviction — the count-overlap
@@ -220,7 +234,7 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
 
     def pop_front() -> None:
         nonlocal h, cdiff
-        k0 = grams[h][0]
+        k0 = gk[h]
         h += 1
         c0 = gcount[k0] - 1
         gcount[k0] = c0
@@ -242,13 +256,14 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
                                          (ci - h + 1 - cdiff) / num_grams))
         # shift_start (reference candidate_match.py:173-204)
         if end - start > name_len:
-            anchor_start = grams[h][1]
-            best_po = first_off[grams[h][0]]
+            anchor_start = gs[h]
+            best_po = first_off[gk[h]]
             best_idx = 0
             best_start = anchor_start
             slack = (end - start) - name_len
             for si in range(h, ci + 1):
-                k2, s2, _l2 = grams[si]
+                k2 = gk[si]
+                s2 = gs[si]
                 if s2 - anchor_start > slack:
                     break  # a later start would leave the match too short
                 po = first_off[k2]
@@ -258,15 +273,14 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
                     break
             for _ in range(best_idx):
                 pop_front()
-            k0, s0, _ = grams[h]
-            off = s0 - first_off[k0]
+            off = gs[h] - first_off[gk[h]]
             start = 0 if off < 0 else off
             if best_idx > 0 and start != end:
                 candidates.append(_Candidate(cp, start, end, text[start:end],
                                              (ci - h + 1 - cdiff) / num_grams))
 
-    for ci, gram in enumerate(grams):
-        key = gram[0]
+    for ci in range(last + 1):
+        key = gk[ci]
         # the window before adding gram ci is grams[h..ci-1]: empty iff h >= ci
         if h >= ci:
             # empty partial: it only opens on an early gram — but a fully
@@ -276,8 +290,8 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
             if key not in early:
                 h = ci + 1  # stays empty at the next index
                 if gcount and ci < last:
-                    ns = grams[ci + 1][1]
-                    if ns and ns - gram[1] > gap_limit:
+                    ns = gs[ci + 1]
+                    if ns and ns - gs[ci] > gap_limit:
                         gset = set()
                         gcount = {}
                         cdiff = 0
@@ -288,10 +302,9 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
         # --- add the gram (reference add_skip_match) ---
         gset.add(key)
         if start is None or start < 0:
-            k0, s0, _ = grams[h]
-            off = s0 - first_off[k0]
+            off = gs[h] - first_off[gk[h]]
             start = 0 if off < 0 else off
-        gram_end = gram[1] + gram[2]
+        gram_end = gs[ci] + gl[ci]
         if gram_end > end:
             end = gram_end
         c_old = gcount.get(key)
@@ -309,30 +322,28 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
         while h <= ci and end - start > max_len:
             pop_front()
             if h <= ci:
-                kf, sf, _ = grams[h]
-                off = sf - first_off[kf]
+                off = gs[h] - first_off[gk[h]]
                 start = 0 if off < 0 else off
             else:
                 start = None
                 break
         # ... and while the front gram can no longer start a match
-        while h <= ci and grams[h][0] not in early:
+        while h <= ci and gk[h] not in early:
             pop_front()
             if h <= ci:
-                kf, sf, _ = grams[h]
-                off = sf - first_off[kf]
+                off = gs[h] - first_off[gk[h]]
                 start = 0 if off < 0 else off
             else:
                 start = None
         # --- is_match (reference candidate_match.py:234-269) ---
-        if h <= ci and grams[h][0] in early:
+        if h <= ci and gk[h] in early:
             span = end - start
             if (span <= max_len and span >= low_len
-                    and grams[ci][0] in late
+                    and key in late
                     and len(gset) / gram_set_size >= skipgram_threshold):
                 emit()
-        next_start = grams[ci + 1][1] if ci < last else None
-        if next_start and next_start - gram[1] > gap_limit:
+        next_start = gs[ci + 1] if ci < last else None
+        if next_start and next_start - gs[ci] > gap_limit:
             # the gap to the next matched gram exceeds a whole skipgram:
             # it cannot belong to this candidate
             h = ci + 1
@@ -342,10 +353,10 @@ def _sweep_candidates(cp: CompiledPhrase, grams: List[Tuple], text: str,
             start = -1
             end = -1
     # end of gram stream: check the remaining partial
-    if h <= last and grams[h][0] in early:
+    if h <= last and gk[h] in early:
         span = end - start
         if (span <= max_len and span >= low_len
-                and grams[last][0] in late
+                and gk[last] in late
                 and len(gset) / gram_set_size >= skipgram_threshold):
             emit()
     return candidates
@@ -600,8 +611,9 @@ def _accumulate_vectorized(hits, model: CompiledModel, cfg, mlv: int,
         mkeys = keys[idx]
         if np.unique(mkeys).size / gram_set_size < thr:
             continue
-        grams = list(zip(mkeys.tolist(), starts[idx].tolist(),
-                         lens[idx].tolist()))
+        # parallel lists, not tuples: the sweep indexes columns directly,
+        # so no per-gram tuple objects are ever materialized
+        grams = (mkeys.tolist(), starts[idx].tolist(), lens[idx].tolist())
         ordered.append((int(idx[0]), kind, rank, cp, grams))
     ordered.sort(key=lambda t: (t[0], t[1], t[2]))
     return [(t[3], t[4]) for t in ordered]
