@@ -725,13 +725,23 @@ def oracle_sql() -> dict[str, str]:
     def _h60(expr: str) -> str:
         return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
+    # the engine's MinHash family: affine transforms of one 32-bit
+    # md5-derived base hash (pipeline/dedup.py MINHASH_P/_minhash_ab) —
+    # mirrored here term for term so signatures stay bit-identical
+    from fuzzy_search_spark.pipeline.dedup import MINHASH_P, _minhash_ab
+
+    _mh_base = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+
+    def _mh_min(i: int) -> str:
+        a, b = _minhash_ab(8)[i]
+        return f"min(({a} * {_mh_base} + {b}) % {MINHASH_P})"
+
     minhash_sig = """
         WITH {cte}
         SELECT doc_id, {mins} AS sig_joined
         FROM shingles GROUP BY doc_id
     """.format(cte=shingle_cte, mins=" || '|' || ".join(
-        f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')})"
-        for i in range(8)))
+        _mh_min(i) for i in range(8)))
 
     lsh_cte = """
         WITH {cte}, sig AS (""".format(cte=shingle_cte) + """
@@ -750,9 +760,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2
         )
     """.format(
-        cols=", ".join(
-            f"min({_h60(chr(39) + f'{i}:' + chr(39) + ' || shingle')}) AS h{i}"
-            for i in range(8)),
+        cols=", ".join(f"{_mh_min(i)} AS h{i}" for i in range(8)),
         bands=" UNION ALL ".join(
             "SELECT doc_id, {b} AS band, md5(h{r0} || '|' || h{r1}) AS band_hash "
             "FROM sig".format(b=b, r0=b * 2, r1=b * 2 + 1)
