@@ -304,10 +304,10 @@ Evidence notes (no real multi-node cluster exists in this sandbox):
 The reference library publishes no quantitative baseline (BASELINE.md §1)
 and is single-threaded pure Python.  Measured head-to-head (README model,
 identical output, seeded fixture corpus incl. giants): reference
-0.112 MB/s vs this engine's single-core matcher ~0.52 MB/s — a ~4.6x
-single-core advantage at identical match output (same corpus, same model,
-same match count; NumPy-vectorized gram scan + O(n) two-pointer
-sweep) before Spark parallelism.  Caveat: the reference ran with a
+0.124 MB/s vs this engine's single-core matcher ~0.72 MB/s — a ~5.8x
+single-core advantage at byte-identical match output (384/384 docs
+agree; NumPy-vectorized gram scan + O(n) two-pointer sweep over parallel
+gram arrays) before Spark parallelism.  Caveat: the reference ran with a
 pure-Python shim for its C `Levenshtein` dependency (absent here); the
 dominant cost in both engines is the skipgram scan, which the reference
 always runs in pure Python.
