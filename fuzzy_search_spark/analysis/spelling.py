@@ -139,15 +139,23 @@ def spelling_shifts(corpus1: DataFrame, corpus2: DataFrame,
     grams = char_skipgram_counts(terms, "term", ngram_size=3, skip_size=0)
     norms = grams.groupBy("term").agg(
         F.sqrt(F.sum(F.col("freq") * F.col("freq"))).alias("norm"))
+    # the +/-d length band is part of the JOIN KEY (side B replicated into
+    # the 2d+1 neighboring length keys), not a post-join predicate — a hot
+    # gram's candidates split across term lengths instead of fanning out
+    # quadratically inside one shuffle key (same shape as
+    # analysis/similarity.skipgram_similarity_topk_bucketed)
     ga = grams.select(F.col("term").alias("drop_word"), "gram",
-                      F.col("freq").alias("fa"))
-    gb = grams.select(F.col("term").alias("jump_word"), "gram",
-                      F.col("freq").alias("fb"))
+                      F.col("freq").alias("fa"),
+                      F.length("term").alias("len_key"))
+    gb = grams.select(
+        F.col("term").alias("jump_word"), "gram",
+        F.col("freq").alias("fb"),
+        F.explode(F.sequence(
+            F.length("term") - max_length_diff,
+            F.length("term") + max_length_diff)).alias("len_key"))
     sims = (
         drops.join(ga, "drop_word")
-        .join(gb.join(jumps, "jump_word"), "gram")
-        .filter(F.abs(F.length("drop_word") - F.length("jump_word"))
-                <= max_length_diff)
+        .join(gb.join(jumps, "jump_word"), ["gram", "len_key"])
         .groupBy("drop_word", "jump_word", "drop_level", "jump_level")
         .agg(F.sum(F.col("fa") * F.col("fb")).alias("dot"))
         .join(norms.select(F.col("term").alias("drop_word"),

@@ -73,6 +73,46 @@ def iter_skipgrams(text: str, ngram_size: int = 2,
     return
 
 
+
+
+def skipgram_distance_table(text: str, ngram_size: int = 2,
+                            skip_size: int = 2,
+                            within_range_threshold: int = 3) -> dict:
+    """Pairwise start-offset distances between a phrase's skipgrams within
+    ``within_range_threshold`` characters (reference Phrase._set_within_range,
+    phrase/phrase.py:137-153): a map from
+    ((gram1, start1), (gram2, start2)) to start2 - start1 over every
+    ordered generation-index pair whose distance is within the threshold.
+
+    Reference quirks preserved: the dict key in the reference is the
+    per-occurrence SkipGram OBJECT pair, so every surviving pair is
+    recorded (the min-update branch is unreachable) — here the key is the
+    (string, start_offset) identity of each occurrence with a pair count
+    suffix only where two object pairs would collide on it; and
+    ``Phrase.within_range`` looks the table up with gram STRINGS, which
+    never match the object keys, so the reference never reads this table
+    back (dead code; documented in SURVEY §2.3).  The table itself is
+    reproduced for drop-in parity of anything that inspects it."""
+    grams = list(iter_skipgrams(text, ngram_size, skip_size))
+    out: dict = {}
+    for i1 in range(len(grams) - 1):
+        g1, s1, _l1 = grams[i1]
+        for i2 in range(i1 + 1, len(grams)):
+            g2, s2, _l2 = grams[i2]
+            if s2 - s1 > within_range_threshold:
+                continue
+            key = ((g1, s1), (g2, s2))
+            if key in out:
+                # two distinct object pairs with identical identity: the
+                # reference stores both (object keys); disambiguate
+                n = 1
+                while (key + (n,)) in out:
+                    n += 1
+                key = key + (n,)
+            out[key] = s2 - s1
+    return out
+
+
 def keyed_skipgrams(text: str, ngram_size: int = 2,
                     skip_size: int = 2) -> List[Tuple[GramKey, int, int]]:
     """All skipgrams as (key, start, length); int keys when ngram_size<=3."""
