@@ -122,3 +122,27 @@ class TestBoundaries:
         text = "dit is een PRAESIDE, zeker"
         got = snap_span("PRAESIDE", "PRAESID", text, 11, 18, string.punctuation)
         assert got == ("PRAESIDE", 11, 19)
+
+
+def test_skipgram_distance_table_parity():
+    """Reproduces the reference Phrase.skipgram_distance table (object-pair
+    keyed there; (string, start) identity here) value for value."""
+    import sys
+
+    sys.path.insert(0, "tests/oracle_shims")
+    sys.path.insert(0, "/root/reference")
+    from fuzzy_search.phrase.phrase import Phrase as RefPhrase
+
+    from fuzzy_search_spark.kernels.skipgrams import skipgram_distance_table
+
+    for phrase in ("PRAESIDE", "den .. Januarii 1725", "abcabc", "xy"):
+        ref = RefPhrase(phrase, ngram_size=2, skip_size=2)
+        ref_items = sorted(
+            (((k[0].string, k[0].start_offset),
+              (k[1].string, k[1].start_offset)), v)
+            for k, v in ref.skipgram_distance.items())
+        mine = skipgram_distance_table(phrase, 2, 2,
+                                       ref.within_range_threshold)
+        mine_items = sorted((k[:2], v) for k, v in mine.items())
+        assert [v for _, v in mine_items] == [v for _, v in ref_items]
+        assert [k for k, _ in mine_items] == [k for k, _ in ref_items], phrase
