@@ -509,6 +509,20 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                           num_planes=6, num_tables=4)
 
 
+def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second ANN scale path: IVF — a deterministic Lloyd-trained
+    coarse quantizer, probe the clusters nearest the query, exact cosine
+    ranking inside them.  Approximate by design -> rows-only check; every
+    returned cosine is exact."""
+    from fuzzy_search_spark.pipeline.ann import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0),
+                    [float(x) for x in query], k=10,
+                    n_clusters=16, n_probes=6, iters=2)
+
+
 def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import pairwise_topk
 
@@ -673,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patterns_in_context": q_patterns_in_context,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,

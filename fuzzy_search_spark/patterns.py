@@ -180,10 +180,22 @@ def get_context_patterns(context_type: str = None) -> Dict:
     return CONTEXT_PATTERNS[context_type]
 
 
-def list_pattern_names(pattern_type: str = None) -> List[str]:
-    """Registered pattern names, optionally filtered by type."""
+def list_pattern_names(name_only: bool = True,
+                       pattern_type: str = None) -> List[str]:
+    """Registered pattern names, optionally filtered by type
+    (``name_only`` is unused in the reference too — kept for drop-in API
+    compatibility, fuzzy_patterns.py:88-100)."""
     return [n for n, spec in PATTERN_DEFINITIONS.items()
             if pattern_type is None or spec.get("type") == pattern_type]
+
+
+def list_pattern_definitions(pattern_type: str = None):
+    """Registered definitions: a filtered list when ``pattern_type`` is
+    given, else the whole dict (reference fuzzy_patterns.py:103-113)."""
+    if pattern_type:
+        return [spec for spec in PATTERN_DEFINITIONS.values()
+                if spec.get("type") == pattern_type]
+    return PATTERN_DEFINITIONS
 
 
 def get_search_patterns(pattern_type: str = None) -> Dict[str, Dict]:

@@ -156,3 +156,86 @@ def lsh_topk_multi(df: DataFrame, query: Sequence[float], k: int = 10,
         hit = F.col(f"bucket_{t}") == qbucket
         cond = hit if cond is None else (cond | hit)
     return cosine_topk(out.filter(cond), query, k, id_col, vec_col)
+
+
+def ivf_train(df: DataFrame, n_clusters: int = 16, iters: int = 3,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> List[List[float]]:
+    """Deterministic IVF coarse quantizer: ``n_clusters`` centroids via
+    Lloyd iterations from a hash-ordered seed sample (the k vectors with
+    the smallest md5(id) — reproducible across runs/engines, unlike a
+    random init).
+
+    Scale shape: each iteration is one broadcast of the k x dim centroid
+    table against the streaming vectors (assignment = min_by over a
+    crossJoin with k rows — a broadcast nested loop whose build side is
+    tiny), then one (cid, pos) hash aggregation for the new means; only
+    k x dim numbers ever reach the driver.  Lloyd means depend on float
+    summation order only in the last bits; downstream search results are
+    exact cosines over the probed subset regardless."""
+    vec = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                  vec.alias("v"))
+        .orderBy("_h").limit(n_clusters).collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.join(df, id_col)
+            .select("cid", F.posexplode(vec).alias("pos", "x"))
+            .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        per_cid: dict = {}
+        for r in means:
+            per_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, dims in per_cid.items():
+            new[cid] = [dims[p] for p in sorted(dims)]
+        cents = new
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: List[List[float]],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cid): nearest centroid per vector (squared euclidean,
+    deterministic tie-break on the smaller cid)."""
+    spark = df.sparkSession
+    vec = F.col(vec_col).cast("array<double>")
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>")
+    diff = F.zip_with(vec, F.col("cvec"), lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col), F.col("cid"), d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best"))
+        .select(id_col, F.col("_best.cid").alias("cid"))
+    )
+
+
+def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+             n_clusters: int = 16, n_probes: int = 4, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: List[List[float]] = None) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the
+    ``n_probes`` centroids nearest the query (the second ANN scale path
+    next to the LSH one; with ``n_probes == n_clusters`` it degenerates to
+    exact brute force — the equivalence the tests pin).  Pass
+    ``centroids=`` (from :func:`ivf_train`) to reuse a trained quantizer
+    across queries — at 10^12 rows the assignment is precomputed once and
+    stored as a column, making each query a partition-pruned scan."""
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, iters, id_col, vec_col)
+    q = np.asarray(query, dtype=float)
+    d2 = ((np.asarray(centroids) - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:n_probes]]
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    candidates = df.join(
+        assigned.filter(F.col("cid").isin(probes)).select(id_col), id_col)
+    return cosine_topk(candidates, query, k, id_col, vec_col)

@@ -196,3 +196,44 @@ def test_near_dup_groups_shapes(spark):
     assert set(groups) == {1, 2, 3}  # the singleton never appears
     assert {g for g, _ in groups.values()} == {1}
     assert all(s == 3 for _, s in groups.values())
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """With n_probes == n_clusters, IVF degenerates to exact brute force —
+    identical top-k to cosine_topk; with fewer probes the result is a
+    subset of the brute-force candidate space with exact cosines."""
+    import random
+
+    from fuzzy_search_spark.pipeline.ann import cosine_topk, ivf_topk
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    query = vecs[0][1]
+    body = df.filter("vec_id != 0")
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(body, query, k=8).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(body, query, k=8, n_clusters=4, n_probes=4,
+                              iters=2).collect()]
+    assert full == exact
+    approx = ivf_topk(body, query, k=8, n_clusters=8, n_probes=2,
+                      iters=2).collect()
+    assert 0 < len(approx) <= 8
+    exact_cos = {r[0]: r[1] for r in exact}
+    all_cos = {r["vec_id"]: r["cosine"]
+               for r in cosine_topk(body, query, k=1000).collect()}
+    for r in approx:
+        assert all_cos[r["vec_id"]] == r["cosine"]  # cosines are exact
+
+
+def test_ivf_train_deterministic(spark):
+    from fuzzy_search_spark.pipeline.ann import ivf_train
+
+    vecs = [(i, [float((i * 7 + j) % 5) for j in range(4)])
+            for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    c1 = ivf_train(df, n_clusters=4, iters=2)
+    c2 = ivf_train(df, n_clusters=4, iters=2)
+    assert len(c1) == 4 and all(len(c) == 4 for c in c1)
+    assert c1 == c2
