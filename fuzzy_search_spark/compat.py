@@ -133,7 +133,27 @@ class FuzzyPhraseSearcher:
                  config: Optional[dict] = None):
         phrases = _phrases_arg(phrase_list, phrase_model)
         self.config = config or {}
+        self._phrases = phrases
         self.model: CompiledModel = compile_model(phrases, config)
+
+    def configure(self, config: dict) -> None:
+        """Re-apply configuration over the current phrases (reference
+        searcher.py:101-143: config keys overlay, phrases re-indexed)."""
+        self.config = dict(self.config, **(config or {}))
+        self.model = compile_model(self._phrases, self.config)
+
+    def index_phrase_model(self, phrase_model: Union[List[dict], PhraseModel],
+                           config: Optional[dict] = None) -> None:
+        """Replace the phrase model (reference searcher.py:145-166)."""
+        if config:
+            self.config = dict(self.config, **config)
+        self._phrases = _phrases_arg(None, phrase_model)
+        self.model = compile_model(self._phrases, self.config)
+
+    def index_phrases(self, phrases: List) -> None:
+        """Replace the phrases (reference searcher.py:168-201)."""
+        self._phrases = phrases
+        self.model = compile_model(phrases, self.config)
 
     def find_matches(self, text: Union[str, dict, "Doc", list],
                      **_overrides) -> List[PhraseMatchResult]:
@@ -178,9 +198,6 @@ class FuzzyContextSearcher(FuzzyPhraseSearcher):
     def __init__(self, config: Optional[dict] = None, **kwargs):
         super().__init__(config=config, **kwargs)
         self.context_size = (config or {}).get("context_size", 100)
-
-    def index_phrase_model(self, phrases: List[dict]) -> None:
-        self.model = compile_model(phrases, self.config)
 
     def find_matches(self, text: Union[str, dict],
                      prefix_size: Optional[int] = None,

@@ -139,3 +139,23 @@ def test_doc_parity_with_reference():
     my_out = [(m.string, m.offset) for m in
               mtok.find_matches(Tokenizer().tokenize_doc(text, doc_id="x"))]
     assert my_out == ref_out
+
+
+def test_configure_and_reindex():
+    """configure / index_phrases / index_phrase_model recompile in place
+    (reference searcher.py:101-201)."""
+    s = FuzzyPhraseSearcher(phrase_list=["PRAESIDE"],
+                            config={"char_match_threshold": 0.6,
+                                    "levenshtein_threshold": 0.6})
+    assert [m.string for m in s.find_matches("een PR&ASIDE geval")] == \
+        ["PR&ASIDE"]
+    s.configure({"levenshtein_threshold": 0.95})
+    assert s.find_matches("een PR&ASIDE geval") == []
+    s.configure({"levenshtein_threshold": 0.6})
+    s.index_phrases(["Veneris"])
+    assert [m.string for m in s.find_matches("ie Veucris den")] == ["Veucris"]
+    from fuzzy_search_spark.compat import PhraseModel
+
+    s.index_phrase_model(PhraseModel(["PRAESIDE"]))
+    assert [m.string for m in s.find_matches("een PR&ASIDE geval")] == \
+        ["PR&ASIDE"]
