@@ -841,6 +841,36 @@ def oracle_sql() -> dict[str, str]:
         FROM cc ORDER BY group_id, doc_id
     """)
 
+    # ann_lsh_top10 IS oracle-expressible despite being "approximate": the
+    # hyperplanes are fixed seeded constants, so the bucket disjunction is
+    # a deterministic predicate DuckDB can evaluate with the same literal
+    # planes (list_dot_product sign + list_cosine_similarity ranking)
+    from fuzzy_search_spark.pipeline.ann import _hyperplanes
+
+    def _bucket_sql(col: str, seed: int) -> str:
+        planes = _hyperplanes(64, 6, seed)
+        return " + ".join(
+            "CASE WHEN list_dot_product({c}, [{p}]) >= 0 "
+            "THEN {v} ELSE 0 END".format(
+                c=col, p=",".join(repr(x) for x in plane), v=1 << pi)
+            for pi, plane in enumerate(planes))
+
+    ann_lsh_sql = """
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+        ), body AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM embeddings WHERE vec_id <> 0
+        )
+        SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cosine
+        FROM body, q
+        WHERE {cond}
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """.format(cond=" OR ".join(
+        "(({b}) = ({qb}))".format(b=_bucket_sql("e", 7 + 1000 * t),
+                                  qb=_bucket_sql("qe", 7 + 1000 * t))
+        for t in range(4)))
+
     simhash_bits = 60
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1136,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE freq_t + freq_r >= 5
             ORDER BY llr DESC, gram LIMIT 20
         """,
+        "ann_lsh_top10": ann_lsh_sql,
         "ann_cosine_top10": """
             WITH q AS (
               SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
