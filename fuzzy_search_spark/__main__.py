@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--token-mode", action="store_true",
                    help="use the token-level pipeline (the fast path for "
                         "large phrase models; slightly less exhaustive)")
+    p.add_argument("--extract-mode", default="strip",
+                   choices=["strip", "main", "auto"],
+                   help="payload->text extraction for NULL-text rows: "
+                        "'strip' = full-tag strip (byte-identity contract), "
+                        "'main' = DOM-heuristic main-content only, "
+                        "'auto' = dispatch by payload magic (PDF/HTML/plain)")
     p.add_argument("--format", dest="table_format", default="parquet",
                    choices=["parquet", "iceberg"],
                    help="input/output table format; 'iceberg' needs the "
@@ -72,6 +78,12 @@ def main(argv=None, spark=None) -> dict:
 
         spark = get_spark(app_name="fuzzy-search-extract")
 
+    from fuzzy_search_spark import extract as _ex
+
+    extractor = {"strip": None,  # job default (extract_html)
+                 "main": _ex.extract_main_content,
+                 "auto": _ex.extract_payload}[args.extract_mode]
+
     if args.token_mode:
         from fuzzy_search_spark.spark.job import match_documents_tokens
         from fuzzy_search_spark.token_matcher import compile_token_model
@@ -87,7 +99,7 @@ def main(argv=None, spark=None) -> dict:
 
         out = match_documents_tokens(
             df, tmodel, url_col=args.url_col, text_col=args.text_col,
-            html_col=args.html_col or None)
+            html_col=args.html_col or None, extractor=extractor)
         write_matches(out, args.output, args.table_format)
         summary = {"mode": "token", "output": args.output}
     else:
@@ -103,7 +115,8 @@ def main(argv=None, spark=None) -> dict:
             url_col=args.url_col, text_col=args.text_col,
             html_col=args.html_col or None,
             chunk_chars=args.chunk_chars,
-            table_format=args.table_format)
+            table_format=args.table_format,
+            extractor=extractor)
         summary["mode"] = "phrase"
     print(json.dumps(summary))
     return summary

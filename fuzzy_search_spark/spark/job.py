@@ -145,6 +145,7 @@ def match_documents(df: DataFrame, model: CompiledModel,
                     url_col: str = "url", text_col: str = "text",
                     html_col: Optional[str] = None,
                     chunk_chars: Optional[int] = None,
+                    extractor=None,
                     metrics_acc=None) -> DataFrame:
     """Run the fuzzy-match pipeline over a documents DataFrame.
 
@@ -152,7 +153,11 @@ def match_documents(df: DataFrame, model: CompiledModel,
     given, rows with NULL ``text_col`` are extracted from html in the same
     pass (no extra stage).  ``chunk_chars`` bounds per-document memory for
     giant documents via exactness-preserving chunked matching
-    (matcher.find_matches_chunked).
+    (matcher.find_matches_chunked).  ``extractor`` overrides the payload->
+    text function (default :func:`extract.extract_html`; alternatives:
+    ``extract.extract_main_content`` for DOM-heuristic boilerplate
+    removal, ``extract.extract_payload`` for mixed HTML/PDF/plain tables —
+    must be a deterministic top-level callable, it ships to executors).
     """
     from fuzzy_search_spark.matcher import find_matches_chunked
 
@@ -160,6 +165,7 @@ def match_documents(df: DataFrame, model: CompiledModel,
     bc_model = sc.broadcast(model)
     ignorecase = model.config.ignorecase
     use_html = html_col is not None
+    extract_fn = extractor if extractor is not None else extract_html
     cols = [url_col, text_col] + ([html_col] if use_html else [])
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,7 +180,7 @@ def match_documents(df: DataFrame, model: CompiledModel,
             for ri, url in enumerate(urls):
                 text = texts[ri]
                 if text is None and use_html:
-                    text = extract_html(htmls[ri])
+                    text = extract_fn(htmls[ri])
                 if not text:
                     continue
                 docs += 1
@@ -209,7 +215,8 @@ def match_documents(df: DataFrame, model: CompiledModel,
 
 def match_documents_tokens(df: DataFrame, token_model,
                            url_col: str = "url", text_col: str = "text",
-                           html_col: Optional[str] = None) -> DataFrame:
+                           html_col: Optional[str] = None,
+                           extractor=None) -> DataFrame:
     """Token-level fuzzy match over a documents DataFrame (the fast,
     slightly-less-exhaustive pipeline).  Same broadcast + mapInPandas shape
     as match_documents; char/ngram scores are NULL by design (the token
@@ -219,6 +226,7 @@ def match_documents_tokens(df: DataFrame, token_model,
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(token_model)
     use_html = html_col is not None
+    extract_fn = extractor if extractor is not None else extract_html
     cols = [url_col, text_col] + ([html_col] if use_html else [])
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -231,7 +239,7 @@ def match_documents_tokens(df: DataFrame, token_model,
             for ri, url in enumerate(urls):
                 text = texts[ri]
                 if text is None and use_html:
-                    text = extract_html(htmls[ri])
+                    text = extract_fn(htmls[ri])
                 if not text:
                     continue
                 for m in find_token_matches(text, compiled):
@@ -259,7 +267,8 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
                        url_col: str = "url", text_col: str = "text",
                        html_col: Optional[str] = "html",
                        chunk_chars: Optional[int] = None,
-                       table_format: str = "parquet") -> dict:
+                       table_format: str = "parquet",
+                       extractor=None) -> dict:
     """End-to-end resumable job: read -> (extract) -> match -> write.
 
     Output layout:
@@ -268,6 +277,10 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
         <output>/_manifest.jsonl           one line per committed group
     """
     fingerprint = model.fingerprint()
+    if extractor is not None:
+        # a different payload->text function changes every downstream row:
+        # resume must not skip groups committed under another extractor
+        fingerprint += f":{extractor.__module__}.{extractor.__qualname__}"
     manifest_path = os.path.join(output_path, "_manifest.jsonl")
     metrics_dir = os.path.join(output_path, "_metrics")
     os.makedirs(metrics_dir, exist_ok=True)
@@ -296,7 +309,8 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
         part = salt_by_url(part, salt_partitions, url_col)
         matches = match_documents(part, model, url_col=url_col,
                                   text_col=text_col, html_col=html_col,
-                                  chunk_chars=chunk_chars, metrics_acc=acc)
+                                  chunk_chars=chunk_chars,
+                                  extractor=extractor, metrics_acc=acc)
         if table_format == "iceberg":
             write_matches(matches.withColumn("group", F.lit(group)),
                           output_path, table_format)

@@ -70,3 +70,76 @@ def test_fixture_rows_satisfy_extraction_invariant():
     assert len(df) >= 40
     for _, row in df.iterrows():
         assert extract_html(row["html"]) == row["text"], row["url"]
+
+
+class TestMainContent:
+    PAGE = b"""<html><head><title>t</title></head><body>
+    <nav><a href="/">Home</a> <a href="/x">Products</a> <a href="/y">About</a></nav>
+    <div class="menu"><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a> <a href="/4">four</a> <a href="/5">five</a></div>
+    <article>
+      <p>This is the first real paragraph of the article body with enough prose to pass the length gate.</p>
+      <p>A second substantial paragraph continues the main content and also clears forty characters easily.</p>
+      <p>Read more in <a href="/ref">our reference</a> section, a low link-density sentence overall.</p>
+    </article>
+    <footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+    </body></html>"""
+
+    def test_keeps_prose_drops_chrome(self):
+        from fuzzy_search_spark.extract import extract_main_content
+
+        out = extract_main_content(self.PAGE)
+        assert "first real paragraph" in out
+        assert "second substantial paragraph" in out
+        assert "our reference" in out       # low-density inline link kept
+        assert "Products" not in out        # nav dropped (drop tag)
+        assert "three" not in out           # link-dense menu dropped
+        assert "Privacy" not in out         # footer dropped
+
+    def test_deterministic_and_strip_mode_superset(self):
+        from fuzzy_search_spark.extract import (
+            extract_html,
+            extract_main_content,
+        )
+
+        a = extract_main_content(self.PAGE)
+        assert a == extract_main_content(self.PAGE)
+        full = extract_html(self.PAGE)
+        for line in a.split("\n"):
+            assert line in full  # main mode only removes, never invents
+
+
+class TestPdf:
+    @staticmethod
+    def _make_pdf(content: bytes, compress: bool) -> bytes:
+        import zlib
+
+        body = zlib.compress(content) if compress else content
+        flt = b"/Filter /FlateDecode " if compress else b""
+        return (b"%PDF-1.4\n1 0 obj\n<< " + flt +
+                b"/Length " + str(len(body)).encode() + b" >>\n" +
+                b"stream\n" + body + b"endstream\nendobj\n%%EOF\n")
+
+    def test_flate_stream_tj(self):
+        from fuzzy_search_spark.extract import extract_pdf
+
+        content = b"BT /F1 12 Tf (Hello PDF world) Tj ET"
+        assert extract_pdf(self._make_pdf(content, True)) == "Hello PDF world"
+        assert extract_pdf(self._make_pdf(content, False)) == "Hello PDF world"
+
+    def test_tj_array_escapes_and_lines(self):
+        from fuzzy_search_spark.extract import extract_pdf
+
+        content = (rb"BT [(Wor) -120 (ld \(escaped\))] TJ "
+                   rb"0 -14 Td (line \164wo) Tj ET")
+        out = extract_pdf(self._make_pdf(content, True))
+        assert out == "World (escaped)\nline two"
+
+    def test_payload_dispatch(self):
+        from fuzzy_search_spark.extract import extract_payload
+
+        pdf = self._make_pdf(b"BT (from pdf) Tj ET", True)
+        assert extract_payload(pdf) == "from pdf"
+        assert extract_payload(b"<html><p>from html</p></html>") == "from html"
+        assert extract_payload(b"plain   text\n\n here") == "plain text\nhere"
+        assert extract_payload(TestMainContent.PAGE, mode="main").startswith(
+            "This is the first real paragraph")

@@ -522,3 +522,42 @@ def test_spelling_shifts_similarity_injection(spark):
     none = spelling_shifts(c1, c2, min_freq=1, similarity_threshold=0.95,
                            similarity_df=sims)
     assert none.count() == 0
+
+
+def test_extract_mode_main_in_job(spark, tmp_path):
+    """--extract-mode main routes the DOM-heuristic extractor through the
+    job, and a mode switch invalidates manifest resume (new fingerprint)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.__main__ import main
+
+    page = (b"<html><body><nav><a href='/'>Home</a> <a href='/a'>A</a> "
+            b"<a href='/b'>B</a></nav>"
+            b"<article><p>Anthony Bosman, Makelaers tot Rotterdam, zullen "
+            b"verkopen een schip met veel lading en toebehoren.</p>"
+            b"</article></body></html>")
+    src = tmp_path / "pages"
+    spark.createDataFrame(
+        [("u1", None, bytearray(page), None, "nl")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    phrases_file = tmp_path / "p.json"
+    phrases_file.write_text(json.dumps(["Makelaers"]))
+    config_file = tmp_path / "c.json"
+    config_file.write_text(json.dumps({"char_match_threshold": 0.6,
+                                       "levenshtein_threshold": 0.6}))
+    out = str(tmp_path / "out")
+    base = ["--input", str(src), "--output", out, "--phrases",
+            str(phrases_file), "--config", str(config_file),
+            "--num-groups", "1"]
+    s1 = main(base + ["--extract-mode", "main"], spark=spark)
+    assert s1["matches"] == 1
+    # strip mode: nav junk present upstream of the match, offsets differ
+    s2 = main(base + ["--extract-mode", "strip"], spark=spark)
+    assert s2["ran"] == [0], "extractor change must invalidate resume"
+    got = spark.read.parquet(out + "/matches").filter(
+        F.col("phrase") == "Makelaers").collect()
+    assert len(got) == 1
