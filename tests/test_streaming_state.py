@@ -131,3 +131,32 @@ def test_stream_dedup_drops_recrawls(spark, tmp_path):
     texts = sorted(r["text"] for r in got.collect())
     assert texts == ["different body", "same body"]
     _shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_match_rates_windows(spark, tmp_path):
+    """Watermarked windowed aggregation over a match stream: per-phrase
+    counts per event-time window."""
+    import datetime as dt
+
+    from fuzzy_search_spark.streaming import stream_match_rates
+
+    src = tmp_path / "matches_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for minute, phrase, n in ((0, "alpha", 3), (0, "beta", 1),
+                              (2, "alpha", 2)):
+        rows += [(f"u{minute}-{i}", t0 + dt.timedelta(minutes=minute),
+                  phrase) for i in range(n)]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, phrase string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, phrase string").parquet(str(src))
+    q = (stream_match_rates(spark, stream, window_seconds=60)
+         .writeStream.format("memory").queryName("rates")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window"]["start"].minute, r["phrase"]): r["n_matches"]
+           for r in spark.sql("select * from rates").collect()}
+    assert got == {(0, "alpha"): 3, (0, "beta"): 1, (2, "alpha"): 2}
