@@ -48,16 +48,21 @@ def word_ngram_counts(df: DataFrame, text_col: str = "text",
     ``orders`` restricts to specific orders (default: every order
     1..max_n); ``pad`` adds the reference's sentence-boundary markers."""
     orders = list(orders) if orders is not None else list(range(1, max_n + 1))
-    grams_per_order = [
-        df.select(F.lit(n).alias("n"),
-                  F.explode(_ngram_array(text_col, n, pad)).alias("gram"))
-        for n in orders
-    ]
-    exploded = grams_per_order[0]
-    for extra in grams_per_order[1:]:
-        exploded = exploded.unionAll(extra)
+    # ONE scan: all orders' gram arrays tag their order inline and explode
+    # from the same projection (a per-order unionAll re-reads the corpus
+    # once per order).  NB the tagger must be built by a factory: a
+    # two-parameter lambda handed to F.transform would receive the array
+    # INDEX as its second argument, shadowing a `n=n` default.
+    def _tag(order: int):
+        return lambda g: F.struct(F.lit(order).alias("n"), g.alias("gram"))
+
+    arrays = [F.transform(_ngram_array(text_col, n, pad), _tag(n))
+              for n in orders]
+    tagged = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
     return (
-        exploded.filter(F.length("gram") > 0)
+        df.select(F.explode(tagged).alias("t"))
+        .select("t.n", "t.gram")
+        .filter(F.length("gram") > 0)
         .groupBy("n", "gram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

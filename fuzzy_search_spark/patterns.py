@@ -251,18 +251,21 @@ def extract_patterns(df: DataFrame, text_col: str = "text",
     """All pattern hits per document: (id, pattern_name, pattern_type,
     match).  One regexp_extract_all per pattern, unioned and exploded."""
     patterns = patterns or PATTERN_DEFINITIONS
-    parts: List[DataFrame] = []
-    for name, spec in patterns.items():
-        hits = F.regexp_extract_all(F.col(text_col), F.lit(spec["pattern"]), 0)
-        parts.append(
-            df.select(
-                F.col(id_col),
-                F.lit(name).alias("pattern_name"),
-                F.lit(spec["type"]).alias("pattern_type"),
-                F.explode(hits).alias("match"),
-            )
+    # ONE scan: every pattern's hits compute in the same projection as an
+    # array of (name, type, matches) structs, then a double explode — a
+    # per-pattern unionAll would re-scan the documents table once per
+    # pattern (N passes over 100 TB for an N-pattern library)
+    per_pattern = F.array(*[
+        F.struct(
+            F.lit(name).alias("pattern_name"),
+            F.lit(spec["type"]).alias("pattern_type"),
+            F.regexp_extract_all(F.col(text_col), F.lit(spec["pattern"]), 0)
+            .alias("matches"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        for name, spec in patterns.items()
+    ])
+    return (
+        df.select(F.col(id_col), F.explode(per_pattern).alias("p"))
+        .select(id_col, "p.pattern_name", "p.pattern_type",
+                F.explode("p.matches").alias("match"))
+    )

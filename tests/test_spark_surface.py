@@ -561,3 +561,27 @@ def test_extract_mode_main_in_job(spark, tmp_path):
     got = spark.read.parquet(out + "/matches").filter(
         F.col("phrase") == "Makelaers").collect()
     assert len(got) == 1
+
+
+def test_single_scan_pattern_and_ngram_plans(spark):
+    """Plan guards: multi-pattern extraction and multi-order ngram counts
+    read the corpus ONCE (tagged-array explode), not once per pattern or
+    order (unionAll re-scans)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.analysis.freq import word_ngram_counts
+    from fuzzy_search_spark.patterns import extract_patterns
+
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", "the cat sat on the mat in Amsterdam 1725")
+         for i in range(10)],
+        "doc_id long, url string, text string")
+    for df in (extract_patterns(docs), word_ngram_counts(docs, max_n=3)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+        assert scans == 1 and "Union" not in plan
+    # the order tag must be the ngram order, not the array index
+    counts = word_ngram_counts(docs, max_n=3)
+    per_n = {r["n"]: r["total"] for r in counts.groupBy("n").agg(
+        F.sum("freq").alias("total")).collect()}
+    assert per_n == {1: 90, 2: 80, 3: 70}
