@@ -318,6 +318,38 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + per-frame features over video payloads (decode
+    stubbed; row-per-frame mapInPandas plumbing real)."""
+    from fuzzy_search_spark.pipeline.multimodal import (
+        synth_payload,
+        video_frame_features,
+    )
+
+    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    feats = video_frame_features(docs.filter(F.col("doc_id") % 10 == 0),
+                                 n_frames=3)
+    return feats.select(
+        "url", "n_frames", "frame_index", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+    ).orderBy("url", "frame_index")
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio features (RMS, zero crossings) over audio payloads
+    (decode stubbed; Arrow-batched plumbing real)."""
+    from fuzzy_search_spark.pipeline.multimodal import (
+        audio_features,
+        synth_payload,
+    )
+
+    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
+        "url", F.col("doc_id").cast("string"))
+    return audio_features(docs.filter(F.col("doc_id") % 10 == 0)) \
+        .orderBy("url")
+
+
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.analysis.freq import top_ngrams
 
@@ -672,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
+        "video_frame_features": q_video_frame_features,
+        "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
         "ngram_probabilities": q_ngram_probabilities,

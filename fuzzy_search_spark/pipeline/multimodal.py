@@ -166,3 +166,95 @@ def image_features(df: DataFrame, url_col: str = "url",
 
     return df.select(url_col, payload_col).mapInPandas(
         process, IMAGE_FEATURE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+])
+
+
+def video_frame_features(df: DataFrame, url_col: str = "url",
+                         payload_col: str = "payload",
+                         n_frames: int = 4) -> DataFrame:
+    """Frame-sample video payloads and extract per-frame features: one
+    output row per (video, sampled frame).
+
+    Decode is stubbed like the image path (no codecs in this
+    environment; the deterministic fake keeps every downstream shape
+    real) — the Spark-side plumbing is the production one: Arrow batch
+    in, row-per-frame frame out, vectorized NumPy per batch, explode-free
+    (the fan-out happens inside the UDF so the payload bytes never
+    replicate per frame in the shuffle)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, nf, idx, hs, ws, means = [], [], [], [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                for fi, arr in enumerate(_sample_frames(payload, n_frames)):
+                    urls.append(url)
+                    nf.append(n_frames)
+                    idx.append(fi)
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+                    means.append(arr.mean(axis=(0, 1)).round(6).tolist())
+            yield pd.DataFrame({
+                "url": urls, "n_frames": nf, "frame_index": idx,
+                "height": hs, "width": ws, "mean_rgb": means,
+            })
+
+    return df.select(url_col, payload_col).mapInPandas(
+        process, VIDEO_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+])
+
+
+def _decode_audio(payload: bytes, n_samples: int = 1024) -> np.ndarray:
+    """STUB audio decode (no codec libs in this environment): a
+    deterministic fake PCM stream derived from the payload's sha256, so
+    the feature math and batch shapes run for real."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("audio codec not available in this env")
+    digest = hashlib.sha256(bytes(payload)).digest()
+    reps = (n_samples * 2 + len(digest) - 1) // len(digest)
+    raw = np.frombuffer((digest * reps)[:n_samples * 2], dtype=np.int16)
+    return raw.astype(np.float64) / 32768.0
+
+
+def audio_features(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload",
+                   n_samples: int = 1024) -> DataFrame:
+    """Decode -> per-clip audio features (RMS energy, zero-crossing
+    count) over audio payloads; decode stubbed, plumbing real."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, ns, rms, zc = [], [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                pcm = _decode_audio(payload, n_samples)
+                urls.append(url)
+                ns.append(len(pcm))
+                rms.append(round(float(np.sqrt((pcm ** 2).mean())), 6))
+                zc.append(int((np.signbit(pcm[1:]) !=
+                               np.signbit(pcm[:-1])).sum()))
+            yield pd.DataFrame({
+                "url": urls, "n_samples": ns, "rms": rms,
+                "zero_crossings": zc,
+            })
+
+    return df.select(url_col, payload_col).mapInPandas(
+        process, AUDIO_FEATURE_SCHEMA)

@@ -585,3 +585,27 @@ def test_single_scan_pattern_and_ngram_plans(spark):
     per_n = {r["n"]: r["total"] for r in counts.groupBy("n").agg(
         F.sum("freq").alias("total")).collect()}
     assert per_n == {1: 90, 2: 80, 3: 70}
+
+
+def test_video_and_audio_plumbing(spark):
+    from fuzzy_search_spark.pipeline.multimodal import (
+        audio_features,
+        video_frame_features,
+    )
+
+    payloads = spark.createDataFrame(
+        [("v1", b"\x00\x00\x00\x18ftypmp42" + b"x" * 64),
+         ("v2", b"different payload bytes here")],
+        "url string, payload binary")
+    frames = video_frame_features(payloads, n_frames=3).collect()
+    assert len(frames) == 6  # row per (video, frame)
+    assert {(f.height, f.width) for f in frames} == {(16, 16)}
+    assert sorted({f.frame_index for f in frames}) == [0, 1, 2]
+    again = video_frame_features(payloads, n_frames=3).collect()
+    assert sorted(map(str, frames)) == sorted(map(str, again))
+
+    clips = audio_features(payloads).collect()
+    assert len(clips) == 2
+    for c in clips:
+        assert c.n_samples == 1024 and 0.0 < c.rms < 1.0
+        assert 0 < c.zero_crossings < 1024
