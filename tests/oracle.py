@@ -57,3 +57,50 @@ def engine_matches(model, text: str) -> List[tuple]:
          m.char_match, m.ngram_match, m.levenshtein_similarity)
         for m in find_matches(text, model)
     ]
+
+
+def reference_matches_with_seed(phrases, config, text: str,
+                                seed: int) -> List[tuple]:
+    """Run the reference in a SUBPROCESS under a specific PYTHONHASHSEED.
+
+    The reference's equal-score tie-breaks iterate sets of Phrase objects,
+    so its output on tie documents depends on the interpreter's hash
+    randomization — including which of two identical-span main/variant
+    candidates survives the per-phrase overlap filter, which can flip a
+    whole match row in or out (the variant attribution scores differently
+    and may miss a threshold).  Re-running under other seeds enumerates
+    the reference's plausible outputs for such documents."""
+    import json
+    import subprocess
+
+    script = (
+        "import sys, json\n"
+        f"sys.path.insert(0, {_SHIM_DIR!r})\n"
+        f"sys.path.insert(0, {_REFERENCE_DIR!r})\n"
+        "from fuzzy_search.search.phrase_searcher import FuzzyPhraseSearcher\n"
+        "phrases, config, text = json.load(sys.stdin)\n"
+        "s = FuzzyPhraseSearcher(phrase_list=phrases, config=config)\n"
+        "out = [[m.phrase.phrase_string, m.variant.phrase_string, m.string,\n"
+        "        m.offset, m.end, m.character_overlap, m.ngram_overlap,\n"
+        "        m.levenshtein_similarity]\n"
+        "       for m in s.find_matches({'text': text, 'id': 'doc'})]\n"
+        "print(json.dumps(out))\n"
+    )
+    env = dict(os.environ, PYTHONHASHSEED=str(seed))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=300,
+        input=__import__("json").dumps([list(phrases), config, text]))
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    return [tuple(row) for row in __import__("json").loads(proc.stdout)]
+
+
+def matches_any_reference_order(eng, phrases, config, text: str,
+                                seeds=(0, 2, 5, 13, 29, 41)) -> bool:
+    """True if the engine's output equals the reference's output under at
+    least one interpreter hash seed."""
+    for seed in seeds:
+        if eng == reference_matches_with_seed(phrases, config, text, seed):
+            return True
+    return False

@@ -134,8 +134,21 @@ def test_differential_parity(config, request):
         if eng == ref:
             exact += 1
         else:
-            # only variant-attribution tie-breaks may legitimately differ
-            assert _tie_key(eng) == _tie_key(ref), f"text={text!r}"
+            # two legitimate divergence classes, both rooted in the
+            # reference's process-order-dependent set iteration:
+            # (a) variant *attribution* flips on an equal-score tie (spans
+            #     and lev pinned — cheap tie-key check);
+            # (b) a whole match row flips in/out when identical-span main
+            #     and variant candidates tie in the per-phrase overlap
+            #     filter and the surviving attribution scores differently
+            #     against the thresholds — verified by re-running the
+            #     reference under other interpreter hash seeds and
+            #     requiring the engine to reproduce one of its orders.
+            if _tie_key(eng) != _tie_key(ref):
+                from tests.oracle import matches_any_reference_order
+
+                assert matches_any_reference_order(
+                    eng, PHRASES, config, text), f"text={text!r}"
             tie_tolerated += 1
     # the reference's own output varies run-to-run on tie documents (set
     # iteration over id-hashed objects), so the exact-equality count noises
