@@ -143,3 +143,27 @@ class TestPdf:
         assert extract_payload(b"plain   text\n\n here") == "plain text\nhere"
         assert extract_payload(TestMainContent.PAGE, mode="main").startswith(
             "This is the first real paragraph")
+
+
+def test_extractors_never_raise_on_garbage():
+    """Extraction is total: random bytes (including truncated PDF/HTML
+    magic) produce a string, never an exception."""
+    import random
+
+    from fuzzy_search_spark.extract import (
+        extract_html,
+        extract_main_content,
+        extract_payload,
+        extract_pdf,
+    )
+
+    rng = random.Random(21)
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+             for _ in range(200)]
+    blobs += [b"%PDF-" + blobs[i][:50] for i in range(20)]
+    blobs += [b"<html><div>" + blobs[i][:50] for i in range(20)]
+    blobs += [b"stream\n\x78\x9c\x00garbage endstream", b"", None]
+    for blob in blobs:
+        for fn in (extract_html, extract_main_content, extract_pdf,
+                   extract_payload):
+            assert isinstance(fn(blob), str)

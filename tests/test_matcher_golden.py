@@ -162,3 +162,37 @@ class TestHardLengthVariance:
         got = find_matches("AduiraliteytVrieslaidt", model)
         assert len(got) == 1
         assert got[0].offset == 0
+
+
+def test_engine_deterministic_across_hash_seeds():
+    """Unlike the reference (set-iteration tie-breaks flip with the
+    interpreter's hash seed — see test_reference_parity), this engine's
+    output is bit-identical under any PYTHONHASHSEED: a hard requirement
+    for resumable distributed jobs, where retried tasks must reproduce
+    their partition's rows exactly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import sys, json\n"
+        "sys.path.insert(0, '.')\n"
+        "from tests.test_matcher_golden import README_CONFIG, "
+        "README_PHRASES, TEXT1, TEXT2\n"
+        "from fuzzy_search_spark.model import compile_model\n"
+        "from fuzzy_search_spark.matcher import find_matches\n"
+        "m = compile_model(README_PHRASES, README_CONFIG)\n"
+        "out = [[x.phrase, x.variant, x.string, x.offset, x.end,\n"
+        "        x.char_match, x.ngram_match, x.levenshtein_similarity]\n"
+        "       for t in (TEXT1, TEXT2) for x in find_matches(t, m)]\n"
+        "print(json.dumps(out))\n"
+    )
+    outs = set()
+    for seed in (0, 1, 2, 13):
+        env = dict(os.environ, PYTHONHASHSEED=str(seed))
+        proc = subprocess.run([sys.executable, "-c", script], env=env,
+                              capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        outs.add(proc.stdout.strip())
+    assert len(outs) == 1, "engine output varies with hash seed"
