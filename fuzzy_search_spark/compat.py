@@ -17,7 +17,7 @@ compiled models and kernels.  For cluster-scale use, the same models feed
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
+from typing import List, Optional, Union
 
 from fuzzy_search_spark.doc import (  # noqa: F401  (re-exported surface)
     CustomTokenizer,

@@ -21,7 +21,7 @@ Replicated behaviors worth noting:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 from fuzzy_search_spark.matcher import Match
 
