@@ -255,6 +255,15 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                          "doc_id")
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning chain (pipeline/clean.py):
+    exact dedup -> near-dup group dedup (LSH + Jaccard + connected
+    components) -> quality gate; kept docs with language guess."""
+    from fuzzy_search_spark.pipeline.clean import corpus_clean
+
+    return corpus_clean(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
     from fuzzy_search_spark.pipeline.dedup import simhash64_portable
@@ -698,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_duplicates": q_near_duplicates,
         "near_dup_groups": q_near_dup_groups,
+        "corpus_clean": q_corpus_clean,
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -874,6 +884,44 @@ def oracle_sql() -> dict[str, str]:
                count(*) OVER (PARTITION BY group_id) AS group_size
         FROM cc ORDER BY group_id, doc_id
     """)
+
+    # the composite cleaning chain shares the connected-components CTEs:
+    # drop non-representative group members and exact dups (keep min id
+    # per content hash), gate on quality, attach the language guess
+    corpus_clean_sql = near_dup_groups_sql.replace(
+        """
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM cc ORDER BY group_id, doc_id
+    """,
+        """
+        , nd_dropped AS (
+          SELECT doc_id FROM cc WHERE doc_id <> group_id
+        ), exact_keep AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), lv AS (
+          SELECT doc_id, {vote_cols} FROM documents
+        ), quality AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+                 length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS space,
+                 greatest(length(text), 1) AS n
+          FROM documents
+        )
+        SELECT d.doc_id, {lang_case} AS lang_guess, q.n_chars
+        FROM documents d
+        JOIN exact_keep ON exact_keep.doc_id = d.doc_id
+        JOIN quality q ON q.doc_id = d.doc_id
+        JOIN lv ON lv.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM nd_dropped)
+          AND q.n_chars >= 100 AND q.alpha / q.n >= 0.6
+          AND (q.n_chars - q.alpha - q.digit - q.space) / q.n <= 0.1
+        ORDER BY d.doc_id
+    """.format(
+            vote_cols=", ".join(f"{votes[l]} AS votes_{l}"
+                                for l in _STOPWORD_SQL),
+            lang_case=lang_case))
 
     # ann_lsh_top10 IS oracle-expressible despite being "approximate": the
     # hyperplanes are fixed seeded constants, so the bucket disjunction is
@@ -1104,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": lsh_pairs,
         "near_duplicates": near_dups_verified,
         "near_dup_groups": near_dup_groups_sql,
+        "corpus_clean": corpus_clean_sql,
         "simhash": simhash_sql,
         "ngram_jaccard_pairs": ngram_jaccard,
         "embedding_near_dup": """

@@ -1,0 +1,59 @@
+"""The composite corpus-cleaning chain a training-data pipeline runs
+before tokenization: exact dedup -> near-dup group dedup -> quality gate
+-> optional language filter.
+
+One call wires the repo's first-class ops end to end (dedup.py,
+textstats.py); each stage's scale shape is documented at its definition.
+The output is the KEPT documents — the canonical representative of every
+content cluster that also clears the quality/language gates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_search_spark.pipeline.dedup import near_dup_groups
+from fuzzy_search_spark.pipeline.textstats import language_id, quality_scores
+
+
+def corpus_clean(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 languages: Optional[Sequence[str]] = None,
+                 near_dup_threshold: float = 0.5) -> DataFrame:
+    """Kept documents after the full cleaning chain:
+    ``(doc_id, lang_guess, n_chars)``.
+
+    Stages (each keeps the smallest id as the canonical representative,
+    so the stages compose consistently):
+
+    1. exact dedup — one hash aggregation on md5(text);
+    2. near-dup dedup — MinHash-LSH candidates, exact-Jaccard verify,
+       connected components; every non-representative group member drops
+       (a left-anti join against the dropped set, so the non-duplicate
+       majority streams through untouched);
+    3. quality gate — length / alpha-ratio / punct-ratio thresholds
+       (textstats.quality_scores ``keep``);
+    4. optional language filter on the stopword-vote guess.
+    """
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    keep_exact = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col)) \
+        .select(id_col)
+    base = df.join(keep_exact, id_col, "left_semi")
+    nd_dropped = (
+        near_dup_groups(df, id_col=id_col, text_col=text_col,
+                        threshold=near_dup_threshold)
+        .filter(F.col("group_id") != F.col(id_col))
+        .select(id_col)
+    )
+    base = base.join(nd_dropped, id_col, "left_anti")
+    kept = quality_scores(base, id_col=id_col, text_col=text_col) \
+        .filter(F.col("keep")).select(id_col, "n_chars")
+    langs = language_id(base, id_col=id_col, text_col=text_col) \
+        .select(id_col, "lang_guess")
+    out = kept.join(langs, id_col)
+    if languages:
+        out = out.filter(F.col("lang_guess").isin(*list(languages)))
+    return out.select(id_col, "lang_guess", "n_chars")

@@ -237,3 +237,30 @@ def test_ivf_train_deterministic(spark):
     c2 = ivf_train(df, n_clusters=4, iters=2)
     assert len(c1) == 4 and all(len(c) == 4 for c in c1)
     assert c1 == c2
+
+
+def test_corpus_clean_chain(spark):
+    """Exact dups collapse to the min id, near-dup group members collapse
+    to the representative, low-quality docs drop."""
+    from fuzzy_search_spark.pipeline.clean import corpus_clean
+
+    prose = ("The quick brown fox jumps over the lazy dog and then keeps "
+             "running through the quiet field for quite a while longer "
+             "before it finally rests in the shade of an old tree there.")
+    rows = [
+        (1, prose),
+        (2, prose),                      # exact dup of 1 -> dropped
+        (3, prose + " Extra tail words here to make it a near duplicate."),
+        (50, "short"),                   # fails the length gate
+        (60, "!!!! ???? ;;;; " * 40),    # fails the alpha/punct gates
+        (70, "a completely different long document about sailing ships "
+             "and harbors with plenty of ordinary prose words that pass "
+             "every quality threshold easily and comfortably today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"]: r["lang_guess"]
+            for r in corpus_clean(docs).collect()}
+    assert set(kept) == {1, 70}  # 2 exact-dup, 3 near-dup, 50/60 quality
+    assert kept[1] == "en" and kept[70] == "en"
+    only_en = corpus_clean(docs, languages=["nl"]).count()
+    assert only_en == 0
