@@ -165,3 +165,29 @@ def test_golden_texts_byte_identical():
     model = compile_model(README_PHRASES, README_CONFIG)
     for text in (TEXT1, TEXT2):
         assert engine_matches(model, text) == reference_matches(searcher, text)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("config", CONFIGS)
+def test_differential_parity_extended(config, request):
+    """Opt-in deep sweep (pytest -m slow): 250 docs per config with the
+    full tolerance ladder — byte-identical, attribution tie, or
+    reference-hash-seed order."""
+    import zlib
+
+    from tests.oracle import matches_any_reference_order
+
+    searcher = make_reference_searcher(PHRASES, config)
+    model = compile_model(PHRASES, config)
+    rng = random.Random(zlib.crc32(b"extended:" + request.node.name.encode()))
+    for _ in range(250):
+        text = gen_text(rng)
+        try:
+            ref = reference_matches(searcher, text)
+        except Exception:
+            continue
+        eng = engine_matches(model, text)
+        if eng == ref or _tie_key(eng) == _tie_key(ref):
+            continue
+        assert matches_any_reference_order(eng, PHRASES, config, text), \
+            f"text={text!r}"
