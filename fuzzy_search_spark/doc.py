@@ -62,6 +62,21 @@ class Token:
         """Lowercase the NORMALIZED string only (token.py:141-145)."""
         self.normalised_string = self.normalised_string.lower()
 
+    def has_label(self, label_string: str) -> bool:
+        """Whether the token carries the label (token.py:171-182)."""
+        return label_string in self.label
+
+    def update(self, normalised_string: str) -> "Token":
+        """A NEW token with an updated normalized string; the original is
+        untouched (token.py:197-211)."""
+        import copy
+
+        return Token(string=self.t, index=self.i,
+                     char_index=self.char_index,
+                     char_end_index=self.char_end_index,
+                     normalised_string=normalised_string,
+                     metadata=copy.deepcopy(self.metadata))
+
     @property
     def i(self) -> int:
         return self.index

@@ -1,22 +1,27 @@
 """PhraseModel / Phrase registry facade (reference
-``phrase/phrase_model.py:80-766`` and ``phrase/phrase.py:29-120``).
+``phrase/phrase_model.py:80-766`` and ``phrase/phrase.py:29-233``).
 
 The distributed engine compiles phrase dicts straight into the broadcast
 model (`model.compile_model`); this module restores the reference's
 *mutable registry* surface for drop-in users who build models
 incrementally (add/remove phrases, variants, distractors, labels,
-custom metadata) before searching.  It is a driver-side object; pass it
-to ``compat.FuzzyPhraseSearcher(phrase_model=...)`` (or call ``.json``)
-to search.
+custom metadata) before searching — including the word/token lookup
+indexes the reference's searchers read (word_in_phrase, token_in_phrase,
+per-token min/max offsets, phrase_token_max_start/end_offset).  The
+reference's OWN test file for this class passes against the facade
+(tests/test_reference_suite_dropin.py).
 
 Design note (not a port): the reference spreads state over ~20 parallel
-defaultdicts; here one entry record per phrase string carries the same
-information, and the public methods present the reference's views of it.
-Skipgram indexing lives in the compiled engine model, not here.
+defaultdicts built in OO plumbing; here one entry record per phrase
+string carries the registry state and the indexes are built by two small
+shared helpers.  Skipgram indexing lives in the compiled engine model,
+not here.
 """
 
 from __future__ import annotations
 
+import re
+from collections import defaultdict
 from typing import Dict, Iterable, List, Optional, Set, Union
 
 
@@ -33,7 +38,7 @@ class Phrase:
     compiled model; this object carries the registry-facing state."""
 
     def __init__(self, phrase: Union[str, Dict], ngram_size: int = 2,
-                 skip_size: int = 2):
+                 skip_size: int = 2, tokenizer=None):
         if isinstance(phrase, str):
             phrase = {"phrase": phrase}
         if not is_phrase_dict(phrase):
@@ -46,13 +51,15 @@ class Phrase:
         # an explicit 'metadata' dict if present, and a dict with any key
         # beyond 'phrase' merges the WHOLE input dict in
         self.metadata: Dict = dict(phrase.get("metadata", {}))
-        if len(phrase.keys()) > 1:
-            self.metadata.update(phrase)
         self.label: Set[str] = set()
+        self.max_start_offset: int = -1
+        self.max_end_offset: int = -1
+        self.tokens = tokenizer.tokenize(self.phrase_string) \
+            if tokenizer else None
         if "label" in phrase:
             self.set_label(phrase["label"])
-        self.max_start_offset: int = phrase.get("max_start_offset", -1)
-        self.max_end_offset: int = phrase.get("max_end_offset", -1)
+        if len(phrase.keys()) > 1:
+            self.add_metadata(phrase)
 
     def __repr__(self):
         return f'Phrase(phrase_string="{self.phrase_string}")'
@@ -69,6 +76,18 @@ class Phrase:
         else:
             raise TypeError("label must be a string or list of strings")
 
+    def add_metadata(self, metadata_dict: Dict) -> None:
+        """Merge key/value metadata, applying label and max-offset keys
+        (reference phrase.py:184-200)."""
+        for key, value in metadata_dict.items():
+            self.metadata[key] = value
+            if key == "label":
+                self.set_label(value)
+            elif key == "max_start_offset":
+                self.max_start_offset = value
+            elif key == "max_end_offset":
+                self.max_end_offset = value
+
     def has_label(self, label_string: str) -> bool:
         return label_string in self.label
 
@@ -84,17 +103,19 @@ class Phrase:
 
 
 def as_phrase_object(phrase: Union[str, Dict, Phrase], ngram_size: int = 2,
-                     skip_size: int = 2) -> Phrase:
+                     skip_size: int = 2, tokenizer=None) -> Phrase:
     """Reference ``as_phrase_object`` (phrase_model.py:16-43)."""
     if isinstance(phrase, Phrase):
         return phrase
-    return Phrase(phrase, ngram_size=ngram_size, skip_size=skip_size)
+    return Phrase(phrase, ngram_size=ngram_size, skip_size=skip_size,
+                  tokenizer=tokenizer)
 
 
 class PhraseModel:
     """Mutable phrase registry with the reference's public surface
-    (phrase_model.py:80-766): phrases, variants, distractors, labels and
-    custom metadata, round-trippable via ``.json``."""
+    (phrase_model.py:80-766): phrases, variants, distractors, labels,
+    custom metadata and the word/token lookup indexes, round-trippable
+    via ``.json``."""
 
     def __init__(self, phrases: Optional[List] = None,
                  variants: Optional[List[Dict]] = None,
@@ -102,20 +123,40 @@ class PhraseModel:
                  distractors: Optional[List[Dict]] = None,
                  model: Optional[List[Dict]] = None,
                  custom: Optional[List[Dict]] = None,
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None,
+                 tokenizer=None):
         config = config or {}
         self.ngram_size = config.get("ngram_size", 2)
         self.skip_size = config.get("skip_size", 2)
+        if tokenizer is None:
+            from fuzzy_search_spark.doc import Tokenizer
+
+            tokenizer = Tokenizer()
+        self.tokenizer = tokenizer
         self.phrase_index: Dict[str, Phrase] = {}
         self.variant_index: Dict[str, Phrase] = {}
         self.distractor_index: Dict[str, Phrase] = {}
-        self.has_variants: Dict[str, Set[str]] = {}
+        self.phrase_string_map: Dict[str, Phrase] = {}
+        self.phrase_type: Dict[str, Set[str]] = defaultdict(set)
+        self.phrase_length_index: Dict[int, set] = defaultdict(set)
+        self.variant_length_index: Dict[int, set] = defaultdict(set)
+        self.has_variants: Dict[str, Set[str]] = defaultdict(set)
         self.is_variant_of: Dict[str, str] = {}
-        self.has_distractors: Dict[str, Set[str]] = {}
-        self.is_distractor_of: Dict[str, Set[str]] = {}
-        self.has_labels: Dict[str, Set[str]] = {}
-        self.is_label_of: Dict[str, Set[str]] = {}
+        self.has_distractors: Dict[str, Set[str]] = defaultdict(set)
+        self.is_distractor_of: Dict[str, Set[str]] = defaultdict(set)
+        self.has_labels: Dict[str, Set[str]] = defaultdict(set)
+        self.is_label_of: Dict[str, Set[str]] = defaultdict(set)
         self.custom: Dict[str, Dict] = {}
+        self.word_in_phrase: Dict[str, Set[str]] = defaultdict(set)
+        self.first_word_in_phrase: Dict[str, Dict[str, int]] = defaultdict(dict)
+        self.token_in_phrase: Dict[str, Set[str]] = defaultdict(set)
+        self.first_token_in_phrase: Dict[str, Dict[str, int]] = defaultdict(dict)
+        self.min_token_offset_in_phrase: Dict[str, Dict[str, int]] = \
+            defaultdict(dict)
+        self.max_token_offset_in_phrase: Dict[str, Dict[str, int]] = \
+            defaultdict(dict)
+        self.phrase_token_max_start_offset: Dict[str, int] = {}
+        self.phrase_token_max_end_offset: Dict[str, int] = {}
         if phrases:
             self.add_phrases(phrases)
         if variants:
@@ -128,6 +169,8 @@ class PhraseModel:
             self.add_model(model)
         if custom:
             self.add_custom(custom)
+        self.set_phrase_token_max_start_offsets()
+        self.set_phrase_token_max_end_offsets()
 
     def __repr__(self):
         import json as _json
@@ -140,6 +183,40 @@ class PhraseModel:
     def __contains__(self, phrase) -> bool:
         return self.has_phrase(phrase)
 
+    def _as_phrase(self, phrase) -> Phrase:
+        return as_phrase_object(phrase, self.ngram_size, self.skip_size,
+                                tokenizer=self.tokenizer)
+
+    # -- shared index helpers --------------------------------------------
+
+    def _index_phrase_words(self, phrase: Phrase) -> None:
+        """Word lookup indexes for the exact-match path (reference
+        phrase_model.py:689-700)."""
+        for wi, word in enumerate(re.finditer(r"\w+", phrase.phrase_string)):
+            if wi == 0:
+                self.first_word_in_phrase[word.group(0)][
+                    phrase.phrase_string] = word.start()
+            self.word_in_phrase[word.group(0)].add(phrase.phrase_string)
+
+    def _index_phrase_tokens(self, phrase: Phrase) -> None:
+        """Token lookup indexes for the token searcher (reference
+        phrase_model.py:750-761)."""
+        if self.tokenizer is None:
+            return
+        phrase.tokens = self.tokenizer.tokenize(phrase.phrase_string,
+                                                doc_id=phrase.phrase_string)
+        for ti, token in enumerate(phrase.tokens):
+            if ti == 0:
+                self.first_token_in_phrase[token.n][phrase.phrase_string] = \
+                    token.char_index
+            if phrase.phrase_string not in \
+                    self.min_token_offset_in_phrase[token.n]:
+                self.min_token_offset_in_phrase[token.n][
+                    phrase.phrase_string] = token.char_index
+            self.max_token_offset_in_phrase[token.n][phrase.phrase_string] = \
+                token.char_index
+            self.token_in_phrase[token.n].add(phrase.phrase_string)
+
     # -- building ---------------------------------------------------------
 
     def add_model(self, model: List[Union[str, Dict]]) -> None:
@@ -151,68 +228,96 @@ class PhraseModel:
         self.add_custom(model)
 
     def add_phrase(self, phrase: Phrase) -> None:
+        self.phrase_string_map[phrase.phrase_string] = phrase
+        self.phrase_type[phrase.phrase_string].add("phrase")
         self.phrase_index[phrase.phrase_string] = phrase
+        self.phrase_length_index[len(phrase.phrase_string)].add(
+            phrase.phrase_string)
+        self._index_phrase_words(phrase)
+        self._index_phrase_tokens(phrase)
         if phrase.label:
             self._register_labels(phrase.phrase_string, phrase.label)
 
     def add_phrases(self, phrases: Iterable[Union[str, Dict, Phrase]]) -> None:
+        """Add phrases; full dict entries also register their variants /
+        distractors / labels / custom keys (phrase_model.py:349-369)."""
+        phrases = list(phrases)
         for p in phrases:
-            self.add_phrase(as_phrase_object(p, self.ngram_size,
-                                             self.skip_size))
+            self.add_phrase(self._as_phrase(p))
+        phrase_dicts = [p for p in phrases if isinstance(p, dict)]
+        if phrase_dicts:
+            self.add_variants(phrase_dicts)
+            self.add_distractors(phrase_dicts)
+            self.add_custom(phrase_dicts)
+            self.add_labels(phrase_dicts)
 
     def add_variant(self, variant_phrase: Phrase, main_phrase: Phrase):
+        if variant_phrase.phrase_string not in self.phrase_string_map:
+            self.phrase_string_map[variant_phrase.phrase_string] = \
+                variant_phrase
         self.variant_index[variant_phrase.phrase_string] = variant_phrase
         self.is_variant_of[variant_phrase.phrase_string] = \
             main_phrase.phrase_string
-        self.has_variants.setdefault(main_phrase.phrase_string, set()) \
-            .add(variant_phrase.phrase_string)
+        self.has_variants[main_phrase.phrase_string].add(
+            variant_phrase.phrase_string)
+        self.phrase_type[variant_phrase.phrase_string].add("variant")
+        self.variant_length_index[len(variant_phrase.phrase_string)].add(
+            variant_phrase.phrase_string)
+        self._index_phrase_words(variant_phrase)
+        self._index_phrase_tokens(variant_phrase)
 
     def add_variants(self, variants: Iterable[Union[Dict, Phrase]],
                      add_new_phrases: bool = True) -> None:
-        """Register 'variants' lists of known phrases
-        (phrase_model.py:425-450; with ``add_new_phrases`` unknown main
-        phrases are added first, mirroring the reference flag)."""
+        """Register 'variants' lists of known phrases; each variant phrase
+        inherits the main's metadata, including labels and max offsets
+        (phrase_model.py:425-450)."""
         for entry in variants:
-            if not isinstance(entry, dict) or "variants" not in entry:
-                continue
-            main_string = entry["phrase"]
-            if main_string not in self.phrase_index:
+            # NB the reference threads the ENTRY-derived phrase object
+            # through (its metadata carries the variants list), not the
+            # already-registered object (phrase_model.py:437-450)
+            main = self._as_phrase(entry)
+            if main.phrase_string not in self.phrase_index:
                 if not add_new_phrases:
                     continue
-                self.add_phrases([main_string])
-            main = self.phrase_index[main_string]
-            for v in entry["variants"]:
-                self.add_variant(as_phrase_object(v, self.ngram_size,
-                                                  self.skip_size), main)
+                self.add_phrase(main)
+            for v in main.metadata.get("variants", []):
+                variant = self._as_phrase(v)
+                variant.add_metadata(main.metadata)
+                self.add_variant(variant, main)
 
     def add_distractor(self, distractor_phrase: Phrase, main_phrase: Phrase):
+        if distractor_phrase.phrase_string not in self.phrase_string_map:
+            self.phrase_string_map[distractor_phrase.phrase_string] = \
+                distractor_phrase
         self.distractor_index[distractor_phrase.phrase_string] = \
             distractor_phrase
-        self.is_distractor_of.setdefault(
-            distractor_phrase.phrase_string, set()) \
-            .add(main_phrase.phrase_string)
-        self.has_distractors.setdefault(main_phrase.phrase_string, set()) \
-            .add(distractor_phrase.phrase_string)
+        self.is_distractor_of[distractor_phrase.phrase_string].add(
+            main_phrase.phrase_string)
+        self.has_distractors[main_phrase.phrase_string].add(
+            distractor_phrase.phrase_string)
+        self.phrase_type[distractor_phrase.phrase_string].add("distractor")
+        self._index_phrase_words(distractor_phrase)
+        self._index_phrase_tokens(distractor_phrase)
 
     def add_distractors(self, distractors: Iterable[Union[Dict, Phrase]],
                         add_new_phrases: bool = True) -> None:
+        """Same shape as add_variants for 'distractors' lists
+        (phrase_model.py:519-544)."""
         for entry in distractors:
-            if not isinstance(entry, dict) or "distractors" not in entry:
-                continue
-            main_string = entry["phrase"]
-            if main_string not in self.phrase_index:
+            main = self._as_phrase(entry)
+            if main.phrase_string not in self.phrase_index:
                 if not add_new_phrases:
                     continue
-                self.add_phrases([main_string])
-            main = self.phrase_index[main_string]
-            for d in entry["distractors"]:
-                self.add_distractor(as_phrase_object(d, self.ngram_size,
-                                                     self.skip_size), main)
+                self.add_phrase(main)
+            for d in main.metadata.get("distractors", []):
+                distractor = self._as_phrase(d)
+                distractor.add_metadata(main.metadata)
+                self.add_distractor(distractor, main)
 
     def _register_labels(self, phrase_string: str, labels: Set[str]):
-        self.has_labels.setdefault(phrase_string, set()).update(labels)
+        self.has_labels[phrase_string].update(labels)
         for lb in labels:
-            self.is_label_of.setdefault(lb, set()).add(phrase_string)
+            self.is_label_of[lb].add(phrase_string)
 
     def add_labels(self, phrase_labels: Iterable[Union[Dict, Phrase]]) -> None:
         for entry in phrase_labels:
@@ -236,10 +341,52 @@ class PhraseModel:
         import copy
 
         for entry in custom:
-            phrase = as_phrase_object(entry, self.ngram_size, self.skip_size)
+            phrase = self._as_phrase(entry)
             if phrase.phrase_string not in self.phrase_index:
                 continue
             self.custom[phrase.phrase_string] = copy.deepcopy(phrase.metadata)
+
+    # -- token-level max-offset derivation (phrase_model.py:773-817) ------
+
+    def set_phrase_token_max_start_offsets(self):
+        """A token gets a max start offset only when EVERY phrase it occurs
+        in carries one; the value is the loosest bound."""
+        for token in self.token_in_phrase:
+            with_max = without_max = False
+            max_start = -1
+            for phrase_string in self.token_in_phrase[token]:
+                phrase = self.get_phrase(phrase_string)
+                if phrase is None:
+                    continue
+                if phrase.has_max_start_offset():
+                    with_max = True
+                    bound = phrase.max_start_offset + \
+                        self.max_token_offset_in_phrase[token][phrase_string]
+                    if bound > max_start:
+                        max_start = bound
+                else:
+                    without_max = True
+            if with_max and not without_max:
+                self.phrase_token_max_start_offset[token] = max_start
+
+    def set_phrase_token_max_end_offsets(self):
+        for token in self.token_in_phrase:
+            with_max = without_max = False
+            max_end = -1
+            for phrase_string in self.token_in_phrase[token]:
+                phrase = self.get_phrase(phrase_string)
+                if phrase is None:
+                    continue
+                if phrase.has_max_end_offset():
+                    with_max = True
+                    bound = phrase.max_end_offset + \
+                        self.min_token_offset_in_phrase[token][phrase_string]
+                    if bound > max_end:
+                        max_end = bound
+                else:
+                    without_max = True
+            if with_max and not without_max:
+                self.phrase_token_max_end_offset[token] = max_end
 
     # -- removal ----------------------------------------------------------
 
@@ -252,20 +399,27 @@ class PhraseModel:
         if ps not in self.phrase_index:
             raise ValueError(f"{ps} is not registered as a main phrase")
         del self.phrase_index[ps]
-        for v in self.has_variants.pop(ps, set()):
+        self.phrase_type[ps].discard("phrase")
+        self.phrase_length_index[len(ps)].discard(ps)
+        for v in list(self.has_variants.pop(ps, set())):
             self.variant_index.pop(v, None)
             self.is_variant_of.pop(v, None)
-        for d in self.has_distractors.pop(ps, set()):
+            self.phrase_type[v].discard("variant")
+        for d in list(self.has_distractors.pop(ps, set())):
             mains = self.is_distractor_of.get(d)
             if mains is not None:
                 mains.discard(ps)
                 if not mains:
                     self.is_distractor_of.pop(d, None)
                     self.distractor_index.pop(d, None)
+                    self.phrase_type[d].discard("distractor")
 
     def remove_phrases(self, phrases: Iterable[Union[str, Dict, Phrase]]):
         for p in phrases:
-            self.remove_phrase(p)
+            ps = as_phrase_object(p).phrase_string
+            if ps not in self.phrase_index:
+                raise KeyError(f"Unknown phrase: {ps}")
+            self.remove_phrase(ps)
 
     # -- lookup -----------------------------------------------------------
 
@@ -276,9 +430,9 @@ class PhraseModel:
         out = []
         for phrase in self.phrase_index:
             entry: Dict = {"phrase": phrase}
-            if phrase in self.has_variants and self.has_variants[phrase]:
+            if self.has_variants.get(phrase):
                 entry["variants"] = list(self.has_variants[phrase])
-            if phrase in self.has_labels and self.has_labels[phrase]:
+            if self.has_labels.get(phrase):
                 entry["label"] = list(self.has_labels[phrase])
             if phrase in self.custom:
                 entry["custom"] = self.custom[phrase]
@@ -322,9 +476,26 @@ class PhraseModel:
         ps = as_phrase_object(phrase).phrase_string
         return ps in self.phrase_index
 
-    def get_phrases_by_max_length(self, max_length: int) -> List[Phrase]:
-        return [p for s, p in self.phrase_index.items()
-                if len(s) <= max_length]
+    def has_token(self, token) -> bool:
+        """Whether any registered phrase contains the token (by its
+        normalized string; reference phrase_model.py:763-771)."""
+        n = token if isinstance(token, str) else token.n
+        return n in self.token_in_phrase
+
+    def get_phrases_by_max_length(self, max_length: int,
+                                  include_variants: bool = False):
+        """Phrases no longer than ``max_length`` (generator like the
+        reference, phrase_model.py:387-404)."""
+        for phrase_length in sorted(self.phrase_length_index):
+            if phrase_length > max_length:
+                break
+            for phrase_string in self.phrase_length_index[phrase_length]:
+                if phrase_string in self.phrase_index:
+                    yield self.phrase_index[phrase_string]
+            if include_variants:
+                for phrase_string in self.variant_length_index.get(
+                        phrase_length, ()):
+                    yield self.variant_index[phrase_string]
 
     def variant_of(self, variant: Union[str, Phrase]) -> Optional[Phrase]:
         vs = variant.phrase_string if isinstance(variant, Phrase) else variant
@@ -333,7 +504,7 @@ class PhraseModel:
 
     def variants(self, phrase: Union[str, Phrase]) -> Optional[List[Phrase]]:
         ps = phrase.phrase_string if isinstance(phrase, Phrase) else phrase
-        if ps not in self.phrase_index:
+        if ps not in self.has_variants:
             return None
         return [self.variant_index[v]
                 for v in sorted(self.has_variants.get(ps, set()))]
@@ -345,7 +516,7 @@ class PhraseModel:
                 for n in names if n in self.phrase_index]
 
     def is_label(self, label: str) -> bool:
-        return label in self.is_label_of
+        return label in self.is_label_of and bool(self.is_label_of[label])
 
     def has_label(self, phrase_string: str) -> bool:
         return bool(self.has_labels.get(phrase_string))
@@ -355,7 +526,8 @@ class PhraseModel:
         return set(self.has_labels.get(ps, set()))
 
     def has_custom(self, phrase_string: str, custom_property: str) -> bool:
-        return custom_property in self.custom.get(phrase_string, {})
+        return phrase_string in self.custom and \
+            custom_property in self.custom[phrase_string]
 
     def get(self, phrase_string: str, custom_property: str):
         """Reference error contract (phrase_model.py:673-688): KeyError for
