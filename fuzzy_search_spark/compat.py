@@ -43,14 +43,65 @@ from fuzzy_search_spark.token_matcher import (
 default_config = dict(PUBLISHED_DEFAULT_CONFIG)
 
 
+def _phrase_entry(p):
+    """Normalize one phrase input (str, dict, or any Phrase-shaped object
+    exposing .phrase_string) to the dict shape the compiler takes."""
+    if isinstance(p, (str, dict)):
+        return p
+    ps = getattr(p, "phrase_string", None)
+    if isinstance(ps, str):
+        entry = dict(getattr(p, "metadata", None) or {})
+        entry["phrase"] = ps
+        label = getattr(p, "label", None)
+        if label:
+            entry["label"] = sorted(label) if isinstance(label, set) \
+                else label
+        for attr in ("max_start_offset", "max_end_offset"):
+            val = getattr(p, attr, -1)
+            if isinstance(val, int) and val != -1:
+                entry[attr] = val
+        return entry
+    return p
+
+
+def _model_object_to_dicts(pm) -> List[dict]:
+    """Rebuild compile-ready dicts from ANY PhraseModel-shaped registry
+    (ours or the reference's): phrase_index + has_variants /
+    has_distractors / has_labels + per-phrase max offsets."""
+    out = []
+    for ps, phrase in pm.phrase_index.items():
+        entry = _phrase_entry(phrase)
+        if not isinstance(entry, dict):
+            entry = {"phrase": ps}
+        variants = set(entry.get("variants", [])) | \
+            set(getattr(pm, "has_variants", {}).get(ps, set()) or set())
+        if variants:
+            entry["variants"] = sorted(variants)
+        distractors = set(entry.get("distractors", [])) | \
+            set(getattr(pm, "has_distractors", {}).get(ps, set()) or set())
+        if distractors:
+            entry["distractors"] = sorted(distractors)
+        labels = set(getattr(pm, "has_labels", {}).get(ps, set()) or set())
+        if isinstance(entry.get("label"), str):
+            labels.add(entry["label"])
+        elif entry.get("label"):
+            labels.update(entry["label"])
+        if labels:
+            entry["label"] = (sorted(labels)[0] if len(labels) == 1
+                              else sorted(labels))
+        out.append(entry)
+    return out
+
+
 def _phrases_arg(phrase_list, phrase_model):
-    """Reference constructors accept phrase strings/dicts OR a PhraseModel;
-    normalize to the dict list the engine compiler takes."""
+    """Reference constructors accept phrase strings/dicts/Phrase objects OR
+    a PhraseModel (ours or the reference's own — duck-typed on
+    phrase_index); normalize to the dict list the engine compiler takes."""
     if phrase_list is not None:
-        return phrase_list
-    if isinstance(phrase_model, PhraseModel):
-        return phrase_model.to_model_dicts()
-    return phrase_model or []
+        return [_phrase_entry(p) for p in phrase_list]
+    if hasattr(phrase_model, "phrase_index"):
+        return _model_object_to_dicts(phrase_model)
+    return [_phrase_entry(p) for p in (phrase_model or [])]
 
 
 class PhraseWrapper:
@@ -114,8 +165,11 @@ def _text_dict(text: Union[str, dict, "Doc", list]) -> dict:
 
     if isinstance(text, str):
         return {"text": text, "id": None}
-    if isinstance(text, Doc):
-        return {"text": text.text, "id": text.id, "tokens": text.tokens}
+    if isinstance(text, Doc) or (hasattr(text, "text")
+                                 and hasattr(text, "tokens")):
+        # ours or any reference-shaped Doc (duck-typed)
+        return {"text": text.text, "id": getattr(text, "id", None),
+                "tokens": text.tokens}
     if is_token_list(text):
         return {"text": " ".join(t.n for t in text), "id": None}
     if isinstance(text, dict):
@@ -135,6 +189,63 @@ class FuzzyPhraseSearcher:
         self.config = config or {}
         self._phrases = phrases
         self.model: CompiledModel = compile_model(phrases, config)
+
+    # -- reference attribute surface (searcher.py:50-99) ------------------
+
+    @property
+    def phrase_model(self) -> PhraseModel:
+        """The registry view of the indexed phrases (rebuilt on access —
+        the engine's source of truth is the compiled model)."""
+        return PhraseModel(model=list(self._phrases))
+
+    @property
+    def phrases(self) -> set:
+        return set(self.phrase_model.get_phrases())
+
+    @property
+    def variants(self) -> set:
+        return set(self.phrase_model.variant_index.values())
+
+    @property
+    def distractors(self) -> set:
+        return set(self.phrase_model.distractor_index.values())
+
+    def __getattr__(self, name):
+        # config flags read straight off the searcher in the reference
+        # (include_variants, filter_distractors, ignorecase, ...)
+        cfg = self.__dict__.get("model")
+        if cfg is not None and hasattr(cfg.config, name):
+            return getattr(cfg.config, name)
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        # the reference mutates config flags directly on the searcher
+        # (e.g. `searcher.ignorecase = True`); mirror by recompiling
+        from fuzzy_search_spark.config import SearchConfig
+
+        if name in SearchConfig.__dataclass_fields__ and \
+                "model" in self.__dict__:
+            self.config = dict(self.config, **{name: value})
+            self.model = compile_model(self._phrases, self.config)
+        else:
+            object.__setattr__(self, name, value)
+
+    def find_exact_matches(self, text, **overrides):
+        """Exact-occurrence pass only (reference phrase_searcher.py:360+);
+        honors call-time config overrides like use_word_boundaries."""
+        from fuzzy_search_spark.matcher import _find_exact_matches
+
+        doc = _text_dict(text)
+        model = self.model
+        config_keys = {k: v for k, v in overrides.items()
+                       if v is not None and hasattr(model.config, k)}
+        if config_keys:
+            model = compile_model(self._phrases,
+                                  dict(self.config, **config_keys))
+        return [
+            PhraseMatchResult(m, doc["id"], model.config.ignorecase)
+            for m in _find_exact_matches(doc["text"], model)
+        ]
 
     def configure(self, config: dict) -> None:
         """Re-apply configuration over the current phrases (reference
@@ -156,11 +267,21 @@ class FuzzyPhraseSearcher:
         self.model = compile_model(phrases, self.config)
 
     def find_matches(self, text: Union[str, dict, "Doc", list],
-                     **_overrides) -> List[PhraseMatchResult]:
+                     **overrides) -> List[PhraseMatchResult]:
+        """Reference call-time overrides (use_word_boundaries,
+        include_variants, filter_distractors, skip_exact_matching, ...)
+        recompile a temporary model with the overlay — compile cost is
+        microseconds for driver-side phrase lists."""
         doc = _text_dict(text)
+        model = self.model
+        config_keys = {k: v for k, v in overrides.items()
+                       if v is not None and hasattr(model.config, k)}
+        if config_keys:
+            model = compile_model(self._phrases,
+                                  dict(self.config, **config_keys))
         return [
-            PhraseMatchResult(m, doc["id"], self.model.config.ignorecase)
-            for m in find_matches(doc["text"], self.model)
+            PhraseMatchResult(m, doc["id"], model.config.ignorecase)
+            for m in find_matches(doc["text"], model)
         ]
 
 
@@ -170,15 +291,53 @@ class FuzzyTokenSearcher:
     def __init__(self, phrase_list: Optional[List] = None,
                  phrase_model: Union[List[dict], PhraseModel, None] = None,
                  config: Optional[dict] = None,
-                 vocabulary: Optional[List[str]] = None):
+                 vocabulary=None, tokenizer=None, debug: int = 0):
         phrases = _phrases_arg(phrase_list, phrase_model)
+        if tokenizer is None:
+            from fuzzy_search_spark.doc import Tokenizer
+
+            tokenizer = Tokenizer()
+        self.tokenizer = tokenizer  # our token kernel tokenizes
+        self._phrases = phrases     # reference-identically
+        if vocabulary is not None and not isinstance(vocabulary, list):
+            vocabulary = list(vocabulary)  # Vocabulary object -> its terms
+        self._vocabulary = vocabulary
+        self.config = dict(config or {})
+        self._compiled_config = dict(self.config)
         self.model: TokenModel = compile_token_model(phrases, config,
                                                      vocabulary)
 
-    def find_matches(self, text: Union[str, dict, "Doc", list]
-                     ) -> List[PhraseMatchResult]:
+    @property
+    def vocabulary(self):
+        """The searcher's term vocabulary (user terms + phrase tokens) as
+        a Vocabulary object (reference token_searcher.py:498-534)."""
+        from fuzzy_search_spark.analysis.vocabulary import Vocabulary
+
+        return Vocabulary(sorted(self.model.vocab_terms))
+
+    def has_distractor_pair(self, text_term: str, phrase_term: str) -> bool:
+        return (text_term, phrase_term) in self.model.distractor_pairs
+
+    def index_distractor_pair(self, text_term: str, phrase_term: str) -> None:
+        """Register a (text term, phrase term) distractor pair; matching
+        then skips the phrase token for that text token (reference
+        token_searcher.py:460-495)."""
+        self.model.vocab_terms.add(text_term)
+        self.model.distractor_pairs.add((text_term, phrase_term))
+        # drop the precomputed match list so the next probe re-applies the
+        # distractor filter
+        self.model.vocab_cache.pop(text_term, None)
+
+    def find_matches(self, text: Union[str, dict, "Doc", list],
+                     **_overrides) -> List[PhraseMatchResult]:
         from fuzzy_search_spark.doc import is_token_list
 
+        # the reference mutates searcher.config in place between calls
+        # (e.g. config['levenshtein_threshold'] = 0.9) — recompile lazily
+        if self.config != self._compiled_config:
+            self.model = compile_token_model(self._phrases, self.config,
+                                             self._vocabulary)
+            self._compiled_config = dict(self.config)
         pre_tokenized = None
         if is_token_list(text):
             pre_tokenized = text
