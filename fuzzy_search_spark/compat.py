@@ -194,8 +194,12 @@ class FuzzyPhraseSearcher:
 
     @property
     def phrase_model(self) -> PhraseModel:
-        """The registry view of the indexed phrases (rebuilt on access —
-        the engine's source of truth is the compiled model)."""
+        """The registry view of the indexed phrases (the object handed in
+        when one was, else rebuilt on access — the engine's source of
+        truth is the compiled model)."""
+        obj = self.__dict__.get("_phrase_model_obj")
+        if obj is not None:
+            return obj
         return PhraseModel(model=list(self._phrases))
 
     @property
@@ -358,6 +362,35 @@ class FuzzyContextSearcher(FuzzyPhraseSearcher):
         super().__init__(config=config, **kwargs)
         self.context_size = (config or {}).get("context_size", 100)
 
+    def add_match_context(self, match, text,
+                          context_size: Optional[int] = None,
+                          prefix_size: Optional[int] = None,
+                          suffix_size: Optional[int] = None
+                          ) -> PhraseMatchInContext:
+        """Wrap a match with its text window (reference
+        context_searcher.py:44-66); accepts any match exposing
+        .offset/.end — the reference's PhraseMatch included."""
+        if context_size is None:
+            context_size = self.context_size
+        return PhraseMatchInContext(
+            match, text,
+            prefix_size=prefix_size if prefix_size is not None
+            else context_size,
+            suffix_size=suffix_size if suffix_size is not None
+            else context_size)
+
+    def find_matches_in_context(self, match_in_context: PhraseMatchInContext,
+                                **overrides) -> List[PhraseMatchResult]:
+        """Search the context window of a match; offsets are re-anchored
+        to the ORIGINAL text (reference context_searcher.py:105-137)."""
+        out = []
+        for m in FuzzyPhraseSearcher.find_matches(
+                self, match_in_context.context, **overrides):
+            m.offset += match_in_context.context_start
+            m.end += match_in_context.context_start
+            out.append(m)
+        return out
+
     def find_matches(self, text: Union[str, dict],
                      prefix_size: Optional[int] = None,
                      suffix_size: Optional[int] = None, **_overrides):
@@ -379,37 +412,92 @@ class FuzzyContextSearcher(FuzzyPhraseSearcher):
         return out
 
 
-class FuzzyTemplateSearcher(FuzzyPhraseSearcher):
-    """Reference FuzzyTemplateSearcher-compatible entry point.
+class PhraseMatchInContext:
+    """A match plus its surrounding text window (reference
+    match/phrase_match.py PhraseMatchInContext shape)."""
 
-    Takes the phrase model (dicts with labels) plus the template JSON and
-    returns TemplateMatch objects from `search_text`."""
+    def __init__(self, match, text, prefix_size: int = 20,
+                 suffix_size: int = 20):
+        doc = _text_dict(text)
+        s = doc["text"]
+        self.match = match
+        self.text_id = doc["id"]
+        self.context_start = max(0, match.offset - prefix_size)
+        self.context_end = min(len(s), match.end + suffix_size)
+        self.context = s[self.context_start:self.context_end]
+        self.prefix = s[self.context_start:match.offset]
+        self.suffix = s[match.end:self.context_end]
 
-    def __init__(self, phrases: List[dict], template_json: Union[list, dict],
-                 config: Optional[dict] = None, ignore_unknown: bool = True):
+
+class FuzzyTemplate:
+    """Template object tying a phrase model to a template JSON (reference
+    pattern/fuzzy_template.py:188+)."""
+
+    def __init__(self, phrase_model=None, template_json=None,
+                 ignore_unknown: bool = False, ordered: bool = False):
         from fuzzy_search_spark.template import parse_template
 
+        self.phrase_model = phrase_model
+        self.template_json = template_json
+        self.ignore_unknown = ignore_unknown
+        self.ordered = ordered
+        self.ngram_size = getattr(phrase_model, "ngram_size", 2)
+        labels = None
+        if phrase_model is not None and \
+                hasattr(phrase_model, "is_label_of"):
+            labels = set(phrase_model.is_label_of)
+        self.parsed = parse_template(template_json, known_labels=labels,
+                                     ignore_unknown=ignore_unknown)
+
+
+class FuzzyTemplateSearcher(FuzzyPhraseSearcher):
+    """Reference FuzzyTemplateSearcher-compatible entry point: either the
+    reference shape (``template=FuzzyTemplate(...)`` or ``set_template``)
+    or the direct shape (phrase dicts + template JSON)."""
+
+    def __init__(self, phrases: Optional[List[dict]] = None,
+                 template_json: Union[list, dict, None] = None,
+                 config: Optional[dict] = None, ignore_unknown: bool = True,
+                 template: Optional[FuzzyTemplate] = None):
         # the reference searches with overlapping matches allowed on this
         # path (context_searcher.py:70)
         merged = dict(config or {})
         merged.setdefault("allow_overlapping_matches", True)
-        super().__init__(phrase_list=phrases, config=merged)
-        labels = set()
-        for p in phrases:
-            label = p.get("label") if isinstance(p, dict) else None
-            if isinstance(label, str):
-                labels.add(label)
-            elif label:
-                labels.update(label)
-        self.template = parse_template(template_json, known_labels=labels,
-                                       ignore_unknown=ignore_unknown)
+        super().__init__(phrase_list=phrases or [], config=merged)
+        self.template: Optional[FuzzyTemplate] = None
+        self._parsed = None
+        if template is not None:
+            self.set_template(template)
+        elif phrases is not None and template_json is not None:
+            self.set_template(FuzzyTemplate(
+                PhraseModel(model=list(phrases)), template_json,
+                ignore_unknown=ignore_unknown))
 
-    def search_text(self, text: Union[str, dict]):
+    def set_template(self, template: FuzzyTemplate) -> None:
+        """Attach a template; its phrase model becomes the searcher's
+        (reference template_searcher.py: ngram-size mismatch raises)."""
+        if template.ngram_size != self.model.config.ngram_size:
+            raise ValueError(
+                f"template ngram_size {template.ngram_size} does not match "
+                f"searcher ngram_size {self.model.config.ngram_size}")
+        self.template = template
+        self._parsed = template.parsed
+        if template.phrase_model is not None:
+            self._phrase_model_obj = template.phrase_model
+            self._phrases = _phrases_arg(None, template.phrase_model)
+            self.model = compile_model(self._phrases, self.config)
+
+    def find_template_matches(self, matches: List):
+        """Template matching over pre-found matches (any objects exposing
+        .offset and .label — the reference's own PhraseMatch included)."""
         from fuzzy_search_spark.template import find_template_matches
 
+        return find_template_matches(matches, self._parsed)
+
+    def search_text(self, text: Union[str, dict]):
         doc = _text_dict(text)
         matches = find_matches(doc["text"], self.model)
-        return find_template_matches(matches, self.template)
+        return self.find_template_matches(matches)
 
 
 def make_searcher(phrases, config=None) -> FuzzyPhraseSearcher:

@@ -62,6 +62,19 @@ CASES = [
         "TestTokenSkipgramMatches or "
         "test_token_searcher_has_token_skipgram_index)",
         id="token_searcher"),
+    pytest.param(
+        [("fuzzy_search.search.context_searcher",
+          {"FuzzyContextSearcher":
+           "fuzzy_search_spark.compat:FuzzyContextSearcher"})],
+        "test/test_search_context_searcher.py", None, id="context_searcher"),
+    pytest.param(
+        [("fuzzy_search.search.template_searcher",
+          {"FuzzyTemplateSearcher":
+           "fuzzy_search_spark.compat:FuzzyTemplateSearcher",
+           "FuzzyTemplate": "fuzzy_search_spark.compat:FuzzyTemplate"}),
+         ("fuzzy_search.pattern.fuzzy_template",
+          {"FuzzyTemplate": "fuzzy_search_spark.compat:FuzzyTemplate"})],
+        "test/test_search_template_searcher.py", None, id="template_searcher"),
 ]
 
 
