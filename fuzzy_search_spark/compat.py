@@ -507,5 +507,26 @@ def make_searcher(phrases, config=None) -> FuzzyPhraseSearcher:
     return FuzzyPhraseSearcher(phrase_model=phrase_model, config=config)
 
 
+def phrase_match_from_json(match_json: dict) -> PhraseMatchResult:
+    """Reconstruct a PhraseMatchResult from its json() dict (reference
+    phrase_match.py:378-399) — the round-trip counterpart of
+    PhraseMatchResult.json() and the sinks' match_json column."""
+    scores = match_json.get("match_scores") or {}
+    m = Match(
+        phrase=match_json["phrase"],
+        variant=match_json["variant"],
+        string=match_json["string"],
+        offset=match_json["offset"],
+        end=match_json.get("end",
+                           match_json["offset"] + len(match_json["string"])),
+        label=match_json.get("label"),
+        char_match=scores.get("char_match"),
+        ngram_match=scores.get("ngram_match"),
+        levenshtein_similarity=scores.get("levenshtein_similarity"),
+    )
+    return PhraseMatchResult(m, match_json.get("text_id"),
+                             bool(match_json.get("ignorecase")))
+
+
 #: reference alias — `from fuzzy_search import PhraseMatch`
 PhraseMatch = PhraseMatchResult

@@ -124,12 +124,16 @@ def _label_list(label) -> Optional[List[str]]:
 
 
 def attach_extracted_text(df: DataFrame, html_col: str = "html",
-                          out_col: str = "text") -> DataFrame:
-    """Derive the extracted-text column from raw html bytes (Arrow-batched)."""
+                          out_col: str = "text",
+                          extractor=None) -> DataFrame:
+    """Derive the extracted-text column from raw payload bytes
+    (Arrow-batched); ``extractor`` defaults to extract_html (see
+    match_documents for the alternatives)."""
+    extract_fn = extractor if extractor is not None else extract_html
 
     @F.pandas_udf(T.StringType())
     def _extract(html: pd.Series) -> pd.Series:
-        return html.map(extract_html)
+        return html.map(extract_fn)
 
     return df.withColumn(out_col, _extract(F.col(html_col)))
 

@@ -159,3 +159,21 @@ def test_configure_and_reindex():
     s.index_phrase_model(PhraseModel(["PRAESIDE"]))
     assert [m.string for m in s.find_matches("een PR&ASIDE geval")] == \
         ["PR&ASIDE"]
+
+
+def test_phrase_match_json_roundtrip():
+    """json() -> phrase_match_from_json reconstructs the match (reference
+    phrase_match.py:378-399 counterpart)."""
+    from fuzzy_search_spark.compat import phrase_match_from_json
+
+    searcher = FuzzyPhraseSearcher(phrase_list=README_PHRASES,
+                                   config=README_CONFIG)
+    for m in searcher.find_matches({"text": TEXT1, "id": "t1"}):
+        back = phrase_match_from_json(m.json())
+        assert back.phrase.phrase_string == m.phrase.phrase_string
+        assert back.variant.phrase_string == m.variant.phrase_string
+        assert (back.string, back.offset, back.end) == \
+            (m.string, m.offset, m.end)
+        assert back.levenshtein_similarity == m.levenshtein_similarity
+        assert back.text_id == "t1"
+        assert back.json() == m.json()
