@@ -100,6 +100,17 @@ class TokenPhrase:
     max_start_offset: int = -1
     max_end_offset: int = -1
 
+    @property
+    def missing_template(self) -> List[str]:
+        """Per-phrase token-string list copied into every new partial —
+        computed once (partials are created thousands of times per doc
+        at large phrase counts)."""
+        tmpl = getattr(self, "_missing_template", None)
+        if tmpl is None:
+            tmpl = [t.n for t in self.tokens]
+            object.__setattr__(self, "_missing_template", tmpl)
+        return tmpl
+
 
 @dataclass
 class TokenModel:
@@ -401,14 +412,31 @@ class _PartialPhrase:
         self.token_matches: List[TokenMatch] = []
         self.text_tokens: tuple = ()
         self.phrase_tokens: tuple = ()
-        self.missing = [t.n for t in phrase.tokens]
+        self.missing = phrase.missing_template.copy()
         self.text_start = -1
         self.text_end = -1
         self.text_length = 0
         self.match_string: Optional[str] = None
         self.lev: Optional[float] = None
         if token_matches:
-            self.add_tokens(token_matches)
+            if len(token_matches) == 1:
+                # fast path for the overwhelmingly common fresh-partial
+                # shape: one match seeds the state without the generic
+                # re-scan (identical result to add_tokens)
+                m = token_matches[0]
+                for pt in m.ptoken_tuple():
+                    if pt in self.missing:
+                        self.missing.remove(pt)
+                self.token_matches = [m]
+                self.text_tokens = m.text_tokens
+                self.phrase_tokens = m.ptoken_tuple()
+                first = m.text_tokens[0]
+                last = m.text_tokens[-1]
+                self.text_start = first.char_index
+                self.text_end = last.char_index + len(last.n)
+                self.text_length = self.text_end - self.text_start
+            else:
+                self.add_tokens(token_matches)
 
     def add_tokens(self, token_matches: List[TokenMatch]) -> None:
         for tmch in token_matches:
