@@ -106,7 +106,7 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "llr_keywords",
              # round 2: reworked / new operators under timing watch
              "vocabulary", "skipgram_similarity", "spelling_links",
-             "patterns_in_context"]
+             "patterns_in_context", "near_dup_groups", "corpus_clean"]
     qmap = entry.queries()
     out = {}
     for name in names:
@@ -179,12 +179,15 @@ def main() -> None:
                       conf=split_conf)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # best-of-2: the sandbox VM has noisy-neighbor variance; the fastest
-    # observed run is the least-contaminated estimate of the engine's cost
+    # best-of-3: the sandbox VM has noisy-neighbor variance (single walls
+    # swing +-10-20%); the fastest observed run is the least-contaminated
+    # estimate of the engine's cost, and three samples stabilize the
+    # N-vs-4N efficiency ratio that single samples visibly jitter
     big = run_extract_match(spark, corpus_path, "/tmp/bench_matches")
-    big2 = run_extract_match(spark, corpus_path, "/tmp/bench_matches",
-                             warmup=False)
-    big["wall_s"] = min(big["wall_s"], big2["wall_s"])
+    for _ in range(2):
+        rerun = run_extract_match(spark, corpus_path, "/tmp/bench_matches",
+                                  warmup=False)
+        big["wall_s"] = min(big["wall_s"], rerun["wall_s"])
     queries["extract_match_e2e"] = round(big["wall_s"], 3)
     docs_per_sec = n_docs / big["wall_s"]
 
@@ -198,10 +201,11 @@ def main() -> None:
         small.sparkContext.setLogLevel("ERROR")
         small_run = run_extract_match(small, corpus_path,
                                       "/tmp/bench_matches_small")
-        small_run2 = run_extract_match(small, corpus_path,
-                                       "/tmp/bench_matches_small",
-                                       warmup=False)
-        small_run["wall_s"] = min(small_run["wall_s"], small_run2["wall_s"])
+        for _ in range(2):
+            rerun = run_extract_match(small, corpus_path,
+                                      "/tmp/bench_matches_small",
+                                      warmup=False)
+            small_run["wall_s"] = min(small_run["wall_s"], rerun["wall_s"])
         small.stop()
         t_small, t_big = small_run["wall_s"], big["wall_s"]
         ratio = CPUS / SMALL_CPUS
@@ -292,8 +296,8 @@ Evidence notes (no real multi-node cluster exists in this sandbox):
   `chunk_chars` bounds per-document memory exactly
   (matcher.find_matches_chunked);
 - single-run walls on this shared VM vary by +-20%; the bench reports the
-  best of two timed runs after a worker warm-up pass (at production scale
-  executor spin-up amortizes to zero).
+  best of three timed runs after a worker warm-up pass (at production
+  scale executor spin-up amortizes to zero).
 
 ## Per-query timings at sf0.1 (local[{scaling['cpus_big']}], seconds)
 
