@@ -61,15 +61,15 @@ def engine_matches(model, text: str) -> List[tuple]:
 
 def reference_matches_with_seed(phrases, config, text: str,
                                 seed: int) -> List[tuple]:
-    """Run the reference in a SUBPROCESS under a specific PYTHONHASHSEED.
+    """Run the reference in a fresh SUBPROCESS (diagnostic helper).
 
-    The reference's equal-score tie-breaks iterate sets of Phrase objects,
-    so its output on tie documents depends on the interpreter's hash
-    randomization — including which of two identical-span main/variant
-    candidates survives the per-phrase overlap filter, which can flip a
-    whole match row in or out (the variant attribution scores differently
-    and may miss a threshold).  Re-running under other seeds enumerates
-    the reference's plausible outputs for such documents."""
+    The reference's equal-score tie-breaks iterate sets of Phrase
+    OBJECTS, which hash by id() — so the tie order depends on allocation
+    addresses and varies per process run; PYTHONHASHSEED does not control
+    it (the seed here mostly just distinguishes runs).  Sampling fresh
+    runs empirically enumerates the reference's plausible outputs for a
+    tie document; the DETERMINISTIC in-suite tolerance is
+    :func:`explained_by_attribution_tie`."""
     import json
     import subprocess
 
@@ -97,10 +97,78 @@ def reference_matches_with_seed(phrases, config, text: str,
 
 
 def matches_any_reference_order(eng, phrases, config, text: str,
-                                seeds=(0, 2, 5, 13, 29, 41)) -> bool:
-    """True if the engine's output equals the reference's output under at
-    least one interpreter hash seed."""
+                                seeds=tuple(range(12))) -> bool:
+    """True if the engine's output equals the reference's output in at
+    least one of N fresh reference processes (diagnostic sampling of the
+    reference's address-order nondeterminism — probabilistic, so tests
+    should prefer :func:`explained_by_attribution_tie`)."""
     for seed in seeds:
         if eng == reference_matches_with_seed(phrases, config, text, seed):
             return True
     return False
+
+
+def explained_by_attribution_tie(eng, ref, phrases, config) -> bool:
+    """Deterministic structural tolerance for the reference's second
+    tie-break instability class.
+
+    When identical-span candidates from a main phrase and one of its
+    variants tie in the reference's per-phrase overlap filter, the
+    SURVIVING attribution is an allocation-address coin flip (the
+    reference iterates a set of Phrase OBJECTS, whose order PYTHONHASHSEED
+    does not even control) — and since the two attributions score
+    differently, the whole match row flips in or out of the output.
+
+    The engine-side signature of that flip is narrow and checkable
+    without re-running the reference: every symmetric-difference row must
+    belong to a phrase family (main + variants) whose score vectors for
+    the EXACT matched string STRADDLE the config thresholds — at least
+    one family member passes all three score gates and at least one
+    fails.  A genuinely wrong match (string the reference could never
+    emit, wrong span scoring) fails this predicate for every family
+    member on the same side of the gates."""
+    from fuzzy_search_spark.config import effective_config
+    from fuzzy_search_spark.kernels import strings as S
+
+    cfg = effective_config(config)
+    families = {}
+    for p in phrases:
+        if isinstance(p, str):
+            families[p] = [p]
+        else:
+            families[p["phrase"]] = [p["phrase"]] + \
+                list(p.get("variants", []) or [])
+
+    def passes(family_member: str, string: str) -> bool:
+        a, b = family_member, string
+        if cfg.ignorecase:
+            a, b = a.lower(), b.lower()
+        char_m, ngram_m, lev_m = S.cached_match_scores(a, b, cfg.ngram_size)
+        return (char_m >= cfg.char_match_threshold
+                and ngram_m >= cfg.ngram_threshold
+                and lev_m >= cfg.levenshtein_threshold)
+
+    # a divergent doc can mix both classes: first cancel class-(a)
+    # attribution flips pairwise — rows from opposite sides that agree on
+    # (phrase, string, offsets, lev) and differ only in the variant
+    # attribution (and hence the variant-derived char/ngram scores)
+    from collections import Counter
+
+    def akey(row):
+        return (row[0], row[2], row[3], row[4], row[7])
+
+    eng_c = Counter(map(akey, set(eng) - set(ref)))
+    ref_c = Counter(map(akey, set(ref) - set(eng)))
+    residual_keys = set((eng_c - ref_c) | (ref_c - eng_c))
+
+    for row in set(eng) ^ set(ref):
+        if akey(row) not in residual_keys:
+            continue  # cancelled attribution flip
+        phrase, string = row[0], row[2]
+        fam = families.get(phrase)
+        if not fam or len(fam) < 2:
+            return False
+        verdicts = {passes(f, string) for f in fam}
+        if verdicts != {True, False}:
+            return False
+    return True

@@ -135,20 +135,22 @@ def test_differential_parity(config, request):
             exact += 1
         else:
             # two legitimate divergence classes, both rooted in the
-            # reference's process-order-dependent set iteration:
+            # reference's object-address-dependent set iteration (NOT even
+            # PYTHONHASHSEED-controlled — Phrase objects hash by id()):
             # (a) variant *attribution* flips on an equal-score tie (spans
             #     and lev pinned — cheap tie-key check);
             # (b) a whole match row flips in/out when identical-span main
             #     and variant candidates tie in the per-phrase overlap
             #     filter and the surviving attribution scores differently
-            #     against the thresholds — verified by re-running the
-            #     reference under other interpreter hash seeds and
-            #     requiring the engine to reproduce one of its orders.
+            #     against the thresholds — checked DETERMINISTICALLY by
+            #     the family-threshold-straddle predicate (witness docs
+            #     confirmed empirically against repeated reference runs:
+            #     ~10-40% of fresh processes emit the engine's output).
             if _tie_key(eng) != _tie_key(ref):
-                from tests.oracle import matches_any_reference_order
+                from tests.oracle import explained_by_attribution_tie
 
-                assert matches_any_reference_order(
-                    eng, PHRASES, config, text), f"text={text!r}"
+                assert explained_by_attribution_tie(
+                    eng, ref, PHRASES, config), f"text={text!r}"
             tie_tolerated += 1
     # the reference's own output varies run-to-run on tie documents (set
     # iteration over id-hashed objects), so the exact-equality count noises
@@ -171,11 +173,11 @@ def test_golden_texts_byte_identical():
 @pytest.mark.parametrize("config", CONFIGS)
 def test_differential_parity_extended(config, request):
     """Opt-in deep sweep (pytest -m slow): 250 docs per config with the
-    full tolerance ladder — byte-identical, attribution tie, or
-    reference-hash-seed order."""
+    full tolerance ladder — byte-identical, attribution tie, or the
+    deterministic family-threshold-straddle predicate."""
     import zlib
 
-    from tests.oracle import matches_any_reference_order
+    from tests.oracle import explained_by_attribution_tie
 
     searcher = make_reference_searcher(PHRASES, config)
     model = compile_model(PHRASES, config)
@@ -189,5 +191,5 @@ def test_differential_parity_extended(config, request):
         eng = engine_matches(model, text)
         if eng == ref or _tie_key(eng) == _tie_key(ref):
             continue
-        assert matches_any_reference_order(eng, PHRASES, config, text), \
+        assert explained_by_attribution_tie(eng, ref, PHRASES, config), \
             f"text={text!r}"

@@ -95,9 +95,9 @@ def test_reference_suite_phrase_scenarios(phrases, config, text):
     ref = reference_matches(searcher, text)
     eng = engine_matches(model, text)
     if eng != ref and _tie_key(eng) != _tie_key(ref):
-        from tests.oracle import matches_any_reference_order
+        from tests.oracle import explained_by_attribution_tie
 
-        assert matches_any_reference_order(eng, phrases, config, text), \
+        assert explained_by_attribution_tie(eng, ref, phrases, config), \
             f"text={text!r}"
 
 
