@@ -24,6 +24,18 @@ from fuzzy_search_spark.config import DEFAULT_CONFIG, effective_config
 from fuzzy_search_spark.model import CompiledModel, compile_model
 from fuzzy_search_spark.matcher import find_matches
 
+# reference top-level surface (fuzzy_search/__init__.py:1-29): lets
+# `import fuzzy_search_spark as fuzzy_search` satisfy reference-style
+# imports — all pure-Python, no Spark session required
+from fuzzy_search_spark.compat import (  # noqa: E402
+    FuzzyPhraseSearcher,
+    FuzzyTokenSearcher,
+    PhraseMatch,
+    PhraseModel,
+    default_config,
+    make_searcher,
+)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -32,5 +44,11 @@ __all__ = [
     "CompiledModel",
     "compile_model",
     "find_matches",
+    "FuzzyPhraseSearcher",
+    "FuzzyTokenSearcher",
+    "PhraseMatch",
+    "PhraseModel",
+    "default_config",
+    "make_searcher",
     "__version__",
 ]

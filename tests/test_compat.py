@@ -177,3 +177,16 @@ def test_phrase_match_json_roundtrip():
         assert back.levenshtein_similarity == m.levenshtein_similarity
         assert back.text_id == "t1"
         assert back.json() == m.json()
+
+
+def test_top_level_reference_imports():
+    """`import fuzzy_search_spark as fuzzy_search` satisfies the reference
+    package's top-level surface (fuzzy_search/__init__.py:1-29)."""
+    import fuzzy_search_spark as fs
+
+    s = fs.make_searcher(["PRAESIDE"], fs.default_config)
+    assert [m.string for m in s.find_matches("een PR&ASIDE geval")] == \
+        ["PR&ASIDE"]
+    assert fs.PhraseModel(["x"]).has_phrase("x")
+    assert fs.PhraseMatch is not None and fs.FuzzyTokenSearcher is not None
+    assert isinstance(fs.__version__, str)
