@@ -65,6 +65,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+# every driver sf dir carries 64-dim embeddings; passing the known dim
+# avoids eager one-row .head() probes at plan-construction time
+EMB_DIM = 64
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -567,8 +572,8 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import pairwise_topk
 
-    return pairwise_topk(_embeddings(spark, sf_dir), k=5).orderBy(
-        "centroid_label", "rank")
+    return pairwise_topk(_embeddings(spark, sf_dir), k=5,
+                         dim=EMB_DIM).orderBy("centroid_label", "rank")
 
 
 def _vocab_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,10 +815,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, band, band_hash FROM (
             {bands}
           )
+        ), kept_buckets AS (
+          -- mirror of the engine's max_bucket_size cap
+          -- (pipeline/dedup.py minhash_lsh_pairs): degenerate buckets are
+          -- dropped on BOTH sides, keeping oracle and engine in lockstep
+          -- even on template-cluster data
+          SELECT band, band_hash FROM banded
+          GROUP BY band, band_hash
+          HAVING count(*) BETWEEN 2 AND 10000
         ), cands AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  count(*) AS n_bands
-          FROM banded a JOIN banded b
+          FROM banded a
+          JOIN kept_buckets k
+            ON a.band = k.band AND a.band_hash = k.band_hash
+          JOIN banded b
             ON a.band = b.band AND a.band_hash = b.band_hash
            AND a.doc_id < b.doc_id
           GROUP BY 1, 2

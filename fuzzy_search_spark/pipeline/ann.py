@@ -47,11 +47,14 @@ def cosine_topk(df: DataFrame, query: Sequence[float], k: int = 10,
 
 def pairwise_topk(df: DataFrame, k: int = 5, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  label_col: str = "label") -> DataFrame:
+                  label_col: str = "label", dim: int = None) -> DataFrame:
     """For each label centroid, the top-k nearest vectors — a grouped ANN
-    shape: centroids are tiny (broadcast), vectors stream."""
+    shape: centroids are tiny (broadcast), vectors stream.  Pass ``dim``
+    when known — otherwise a one-row ``.head()`` probe runs to discover
+    it, an extra eager job at plan-construction time."""
     vec = F.col(vec_col).cast("array<double>")
-    dim = df.select(F.size(vec_col).alias("d")).head()["d"]
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).head()["d"]
     centroids = (
         df.groupBy(label_col)
         .agg(F.array(*[

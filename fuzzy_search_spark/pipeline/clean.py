@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fuzzy_search_spark.pipeline.dedup import near_dup_groups
-from fuzzy_search_spark.pipeline.textstats import language_id, quality_scores
+from fuzzy_search_spark.pipeline.textstats import language_exprs, quality_exprs
 
 
 def corpus_clean(df: DataFrame, id_col: str = "doc_id",
@@ -49,11 +49,17 @@ def corpus_clean(df: DataFrame, id_col: str = "doc_id",
         .select(id_col)
     )
     base = base.join(nd_dropped, id_col, "left_anti")
-    kept = quality_scores(base, id_col=id_col, text_col=text_col) \
-        .filter(F.col("keep")).select(id_col, "n_chars")
-    langs = language_id(base, id_col=id_col, text_col=text_col) \
-        .select(id_col, "lang_guess")
-    out = kept.join(langs, id_col)
+    # quality + language are both row-local projections of text: fold them
+    # into ONE pass over `base` (whose lineage carries the whole LSH +
+    # Jaccard anti-join) instead of scanning that subtree once per branch
+    # and re-joining — one evaluation of the dedup chain, zero extra joins
+    qcols, keep = quality_exprs(text_col)
+    _lang_cols, guess = language_exprs(text_col)
+    out = (
+        base.select(F.col(id_col), qcols[0], keep.alias("keep"),
+                    guess.alias("lang_guess"))
+        .filter(F.col("keep"))
+    )
     if languages:
         out = out.filter(F.col("lang_guess").isin(*list(languages)))
     return out.select(id_col, "lang_guess", "n_chars")

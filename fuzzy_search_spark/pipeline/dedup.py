@@ -339,7 +339,10 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
     localCheckpoint()ed so the lineage does not grow with iterations (the
     classic iterative-Spark failure mode), and the convergence check is a
     single count of changed labels.  ``max_iterations`` bounds pathological
-    chains; the loop exits early on fixpoint."""
+    chains; the loop exits early on fixpoint.  If the budget runs out
+    first (diameter > max_iterations) a warning is emitted — unconverged
+    labels would otherwise silently split one true component into several
+    groups downstream."""
     edges = pairs_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
@@ -348,6 +351,7 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels.select(F.col("node").alias("b"),
@@ -372,6 +376,15 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            f"changing); components wider than the budget are split — "
+            f"raise max_iterations",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -35,30 +35,56 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def quality_scores(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Heuristic document-quality features: length, alpha ratio, punct
-    ratio, whitespace ratio, plus a composite keep/drop signal."""
+def quality_exprs(text_col: str = "text"):
+    """(feature columns, keep expression) for the quality gate — exposed
+    as raw expressions so composite pipelines (corpus_clean) can fold them
+    into one projection pass instead of re-scanning an expensive lineage
+    per derived table."""
     txt = F.col(text_col)
     n = F.greatest(F.length(txt), F.lit(1))
     alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
     digit = F.length(F.regexp_replace(txt, r"[^0-9]", ""))
     space = F.length(F.regexp_replace(txt, r"[^ \t\n]", ""))
     punct = F.length(txt) - alpha - digit - space
-    out = df.select(
-        F.col(id_col),
+    cols = [
         F.length(txt).alias("n_chars"),
         F.round(alpha / n, 6).alias("alpha_ratio"),
         F.round(digit / n, 6).alias("digit_ratio"),
         F.round(punct / n, 6).alias("punct_ratio"),
         F.round(space / n, 6).alias("space_ratio"),
+    ]
+    # the gate compares the ROUNDED ratios (boundary docs at e.g.
+    # alpha_ratio 0.5999996 keep their historical keep=true)
+    keep = (
+        (F.length(txt) >= 100)
+        & (F.round(alpha / n, 6) >= 0.6)
+        & (F.round(punct / n, 6) <= 0.1)
     )
-    return out.withColumn(
-        "keep",
-        (F.col("n_chars") >= 100)
-        & (F.col("alpha_ratio") >= 0.6)
-        & (F.col("punct_ratio") <= 0.1),
-    )
+    return cols, keep
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features: length, alpha ratio, punct
+    ratio, whitespace ratio, plus a composite keep/drop signal."""
+    cols, keep = quality_exprs(text_col)
+    return df.select(F.col(id_col), *cols, keep.alias("keep"))
+
+
+def language_exprs(text_col: str = "text"):
+    """(vote columns, lang_guess expression) for the stopword-vote
+    language heuristic, as raw expressions (see :func:`quality_exprs`)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    votes = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*votes.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):
+        guess = guess.when(votes[lang] == best, F.lit(lang))
+    cols = [v.alias(f"votes_{lang}") for lang, v in votes.items()]
+    return cols, guess
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id",
@@ -67,17 +93,8 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
 
     Deterministic tie-break: highest vote count, then language code order.
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    votes = [
-        F.size(F.filter(words, lambda w: w.isin(*sw))).alias(f"votes_{lang}")
-        for lang, sw in LANG_STOPWORDS.items()
-    ]
-    scored = df.select(F.col(id_col), *votes)
-    best = F.greatest(*[F.col(f"votes_{lang}") for lang in LANG_STOPWORDS])
-    guess = F.when(best == 0, F.lit("und"))
-    for lang in sorted(LANG_STOPWORDS):
-        guess = guess.when(F.col(f"votes_{lang}") == best, F.lit(lang))
-    return scored.withColumn("lang_guess", guess)
+    cols, guess = language_exprs(text_col)
+    return df.select(F.col(id_col), *cols, guess.alias("lang_guess"))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id",

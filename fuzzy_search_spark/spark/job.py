@@ -74,11 +74,18 @@ def read_pages(spark: SparkSession, input_path: str,
 
 def write_matches(matches: DataFrame, target: str,
                   table_format: str = "parquet") -> None:
-    """Write one group's matches.  Parquet writes a directory; Iceberg
-    appends to a partitioned table (idempotence comes from the job-level
-    manifest: a committed group is never re-run)."""
+    """Write one group's matches idempotently.
+
+    Parquet overwrites the group directory, so a re-run of an uncommitted
+    group replaces any partial output.  Iceberg uses
+    ``overwritePartitions()`` (dynamic partition overwrite): the incoming
+    rows' ``group`` partition value replaces that partition's previous
+    rows atomically, so a crash between the table commit and the manifest
+    line cannot leave duplicates when the group re-runs — the job-level
+    manifest only tells resume which groups to *skip*, it is not the
+    dedup mechanism."""
     if table_format == "iceberg":
-        matches.writeTo(target).append()
+        matches.writeTo(target).overwritePartitions()
         return
     matches.write.mode("overwrite").parquet(target)
 

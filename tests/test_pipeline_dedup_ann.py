@@ -182,6 +182,28 @@ def test_connected_components_transitive(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_warns_on_budget_exhaustion(spark):
+    """A chain wider than the iteration budget must not silently yield
+    split components — the loop warns when it exits unconverged."""
+    import warnings
+
+    from fuzzy_search_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and a sufficient budget converges silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r["node"]: r["label"]
+               for r in connected_components(pairs).collect()}
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(got.values()) == {0}
+
+
 def test_near_dup_groups_shapes(spark):
     """Transitively-linked near-identical docs collapse into one group."""
     from fuzzy_search_spark.pipeline.dedup import near_dup_groups
