@@ -317,14 +317,16 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode -> feature-extract plumbing over image payloads (decode is a
-    deterministic stub; Spark-side schema/batching/UDF shape is real)."""
+    """REAL decode end-to-end: encode a valid PNG per document (pixel
+    stream = sha256(text) repeated), ship it as a binary column, decode
+    it with the stdlib inflate+unfilter codec, extract features.  Oracle-
+    checkable because the expected pixel statistics are computable from
+    sha256(text) alone (see oracle_sql)."""
     from fuzzy_search_spark.pipeline.multimodal import (image_features,
-                                                        synth_payload)
+                                                        synth_png_payload)
 
-    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
-        "url", F.col("doc_id").cast("string"))
-    feats = image_features(docs.filter(F.col("doc_id") % 5 == 0))
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    feats = image_features(synth_png_payload(docs))
     return feats.select(
         "url", "media_type", "height", "width",
         F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
@@ -351,17 +353,17 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-clip audio features (RMS, zero crossings) over audio payloads
-    (decode stubbed; Arrow-batched plumbing real)."""
+    """REAL decode end-to-end: encode a valid 16-bit mono WAV per
+    document (PCM = sha256(text) repeated as LE int16), decode it with
+    the stdlib RIFF parser, extract RMS/zero-crossing features.  Oracle-
+    checkable from sha256(text) (see oracle_sql)."""
     from fuzzy_search_spark.pipeline.multimodal import (
         audio_features,
-        synth_payload,
+        synth_wav_payload,
     )
 
-    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
-        "url", F.col("doc_id").cast("string"))
-    return audio_features(docs.filter(F.col("doc_id") % 10 == 0)) \
-        .orderBy("url")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return audio_features(synth_wav_payload(docs)).orderBy("url")
 
 
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1196,66 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(payload) AS n_bytes,
                    md5(lower(hex(payload))) AS content_md5
             FROM p ORDER BY url
+        """,
+        # image/audio features are REAL decodes of valid PNG/WAV payloads
+        # whose content is sha256(text) repeated (multimodal.synth_png_
+        # payload / synth_wav_payload) — so the oracle predicts every
+        # decoded statistic from sha256(text) without any codec:
+        # - mean_r: each RGB channel's 256 pixels cover the 32 digest
+        #   bytes uniformly (gcd(3,32)=1), so the channel mean IS the
+        #   digest-byte mean;
+        # - e0: first pixel / 255 in float32 (one REAL-cast division
+        #   emulates numpy's float32 arithmetic bit-for-bit).
+        "image_features": """
+            WITH docs AS (
+              SELECT doc_id, sha256(text) AS sha FROM documents
+              WHERE doc_id % 5 = 0
+            ), bytes AS (
+              SELECT doc_id, j,
+                     CAST('0x' || substr(sha, 1 + 2*j, 2) AS INT) AS b
+              FROM docs, (SELECT unnest(generate_series(0, 31)) AS j)
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   'image/png' AS media_type,
+                   16 AS height, 16 AS width,
+                   round(avg(b), 6) AS mean_r,
+                   round(CAST(CAST(
+                       CAST(min(CASE WHEN j = 0 THEN b END) AS DOUBLE)
+                       / 255.0 AS REAL) AS DOUBLE), 6) AS e0
+            FROM bytes GROUP BY doc_id ORDER BY url
+        """,
+        # WAV PCM stream: digest bytes as little-endian int16 pairs,
+        # repeated to 1024 samples; RMS/zero-crossings recomputed from
+        # the same integers (all intermediate doubles are exact dyadic
+        # rationals, so summation order cannot diverge)
+        "audio_features": """
+            WITH docs AS (
+              SELECT doc_id, sha256(text) AS sha FROM documents
+              WHERE doc_id % 10 = 0
+            ), samp AS (
+              SELECT doc_id, i,
+                     CAST('0x' || substr(sha, 1 + 2*((2*i) % 32), 2) AS INT)
+                     + 256 * CAST('0x' || substr(sha, 1 + 2*((2*i + 1) % 32),
+                                                 2) AS INT) AS u
+              FROM docs, (SELECT unnest(generate_series(0, 1023)) AS i)
+            ), pcm AS (
+              SELECT doc_id, i,
+                     (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                       / 32768.0 AS x
+              FROM samp
+            ), flags AS (
+              SELECT doc_id, x,
+                     CASE WHEN lag(x) OVER w IS NULL THEN 0
+                          WHEN (x < 0) <> (lag(x) OVER w < 0) THEN 1
+                          ELSE 0 END AS c
+              FROM pcm WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   CAST(count(*) AS INT) AS n_samples,
+                   8000 AS sample_rate,
+                   round(sqrt(avg(x * x)), 6) AS rms,
+                   CAST(sum(c) AS INT) AS zero_crossings
+            FROM flags GROUP BY doc_id ORDER BY url
         """,
         "ann_centroid_top5": """
             WITH dims AS (

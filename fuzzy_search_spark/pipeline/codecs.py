@@ -1,0 +1,212 @@
+"""Stdlib-only media codecs: PNG (zlib inflate + scanline unfilter) and
+WAV (RIFF struct parse).  No Pillow/cv2/soundfile — everything here is
+``zlib`` + ``struct`` + NumPy, so the multimodal operators decode real
+bytes in this sandbox.
+
+Scope (documented, not hidden): PNG bit depth 8, color types 0 (gray),
+2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace — the
+overwhelming majority of machine-generated web PNGs; WAV integer PCM
+(8/16/24/32-bit) and float32, any channel count.  JPEG/GIF/video remain
+genuinely un-decodable without codec libraries and keep their clearly
+marked deterministic stubs in multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Tuple
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as a
+    valid PNG (filter 0 rows, one zlib-compressed IDAT)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    color_type = {1: 0, 3: 2, 4: 6}[arr.shape[2]]
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth).  Up/None are vectorized; Sub/Average/Paeth run
+    the spec's sequential recurrence along the row."""
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:
+            out[y] = line + prev
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    cur[x] = (int(line[x])
+                              + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape(h, w, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an HxWxC uint8 array (C = 1/2/3/4 by color
+    type; palette images expand to HxWx3).  Raises ValueError on
+    malformed or out-of-scope input (depth != 8, interlaced)."""
+    data = bytes(data)
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIGNATURE)
+    header = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("PNG chunk truncated")
+        if tag == b"IHDR":
+            header = struct.unpack(">IIBBBBB", chunk)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(chunk)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if header is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = header
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} interlace={interlace})")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    arr = _unfilter(raw, h, w, _PNG_CHANNELS[ctype])
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        arr = palette[arr[:, :, 0]]
+    return arr
+
+
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to HxWx3: gray replicates, alpha drops."""
+    if arr.shape[2] == 3:
+        return arr
+    if arr.shape[2] == 4:
+        return arr[:, :, :3]
+    return np.repeat(arr[:, :, :1], 3, axis=2)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples — shape (n,) mono or (n, channels) — as a
+    canonical RIFF/WAVE file."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    payload = np.ascontiguousarray(arr).tobytes()  # interleaved LE
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode WAV bytes to (float64 array of shape (n, channels) in
+    [-1, 1], sample_rate).  Supports integer PCM (8-bit unsigned,
+    16/24/32-bit signed) and IEEE float32.  Raises ValueError on
+    malformed input."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    payload = None
+    while pos + 8 <= len(data):
+        tag, length = struct.unpack("<4sI", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif tag == b"data":
+            payload = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if ch == 0:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 1 and bits == 16:
+        arr = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        arr = (np.frombuffer(payload, dtype=np.uint8)
+               .astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        b = np.frombuffer(payload[:len(payload) - len(payload) % 3],
+                          dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float64) / float(1 << 23)
+    elif audio_format == 1 and bits == 32:
+        arr = (np.frombuffer(payload, dtype="<i4").astype(np.float64)
+               / float(1 << 31))
+    elif audio_format == 3 and bits == 32:
+        arr = np.frombuffer(payload, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV encoding (format={audio_format} bits={bits})")
+    n = len(arr) - len(arr) % ch
+    return arr[:n].reshape(-1, ch), rate

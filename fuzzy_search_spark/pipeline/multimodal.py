@@ -1,12 +1,14 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-The image/audio codec libraries are not available in this environment, so
-the decode kernels are STUBS with a deterministic fake behind
-``FAKE_DECODE=True`` (and ``NotImplementedError`` otherwise) — but the
-Spark-side plumbing is real and tested: schemas, batch iteration, UDF
-signatures, partition-level batching, and the metadata extraction that CAN
-be done on raw bytes (magic-number sniffing, sizes, stable content hashes).
+PNG and WAV payloads decode FOR REAL via the stdlib-only codecs in
+:mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
+unfilter; RIFF struct parse).  Only the formats that genuinely need
+external codec libraries — JPEG/GIF images and video containers — remain
+STUBS with a deterministic fake behind ``FAKE_DECODE=True`` (and
+``NotImplementedError`` otherwise).  The Spark-side plumbing is identical
+either way: schemas, batch iteration, UDF signatures, partition-level
+batching, and raw-byte metadata (magic sniffing, sizes, content hashes).
 """
 
 from __future__ import annotations
@@ -21,7 +23,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: flip to False to surface NotImplementedError where a real codec belongs
+from fuzzy_search_spark.pipeline.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    to_rgb,
+)
+
+#: governs only the formats with no stdlib codec (JPEG/GIF/video): flip to
+#: False to surface NotImplementedError where a real codec belongs.  PNG
+#: and WAV always decode for real.
 FAKE_DECODE = True
 
 _MAGIC = [
@@ -106,24 +118,42 @@ def media_metadata(df: DataFrame, url_col: str = "url",
         process, MEDIA_META_SCHEMA)
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image to an HxWx3 uint8 array.
-
-    STUB: real implementation needs an image codec (Pillow/cv2), absent in
-    this environment.  The deterministic fake derives a 16x16 thumbnail
-    from the payload's sha256 stream so downstream shapes are exercised."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("image codec not available in this env")
+def _fake_thumbnail(payload: bytes) -> np.ndarray:
+    """Deterministic 16x16 RGB fake derived from the payload's sha256
+    stream — the stand-in for formats with no stdlib codec."""
     digest = hashlib.sha256(bytes(payload)).digest()
     rng = np.frombuffer((digest * 24)[:768], dtype=np.uint8)
     return rng.reshape(16, 16, 3)
 
 
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    PNG decodes FOR REAL (codecs.decode_png: stdlib zlib inflate +
+    scanline unfilter; gray/palette/alpha normalized to RGB).  JPEG/GIF
+    need an external codec (Pillow/cv2), absent in this environment —
+    they fall back to the deterministic fake under ``FAKE_DECODE`` and
+    raise NotImplementedError otherwise.  Anything else raises ValueError
+    (callers skip undecodable rows)."""
+    mtype = sniff_media_type(payload)
+    if mtype == "image/png":
+        return to_rgb(decode_png(bytes(payload)))
+    if mtype in ("image/jpeg", "image/gif"):
+        if not FAKE_DECODE:
+            raise NotImplementedError(
+                f"no stdlib codec for {mtype}; install Pillow/cv2")
+        return _fake_thumbnail(payload)
+    raise ValueError(f"not an image payload ({mtype})")
+
+
 def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
-    """STUB frame sampler for video payloads (same deterministic fake)."""
+    """STUB frame sampler for video payloads: container demux + frame
+    decode genuinely need external codecs, so this stays a deterministic
+    fake (per-frame sha256 thumbnails) behind ``FAKE_DECODE``."""
     if not FAKE_DECODE:
         raise NotImplementedError("video codec not available in this env")
-    return [_decode_image(bytes(payload) + bytes([i])) for i in range(n_frames)]
+    return [_fake_thumbnail(bytes(payload) + bytes([i]))
+            for i in range(n_frames)]
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -139,10 +169,15 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 def image_features(df: DataFrame, url_col: str = "url",
                    payload_col: str = "payload",
                    embedding_dim: int = 16) -> DataFrame:
-    """Decode -> feature-extract over image payloads (decode stubbed).
+    """Decode -> feature-extract over image payloads.
 
+    PNG decodes for real (stdlib inflate + unfilter); JPEG/GIF use the
+    documented fake.  Undecodable payloads are skipped (a 100-TB crawl
+    always contains corrupt bytes; one bad row must not kill a task).
     The plumbing mirrors a production pipeline: one Arrow batch in, one
-    feature frame out, all NumPy work vectorized per batch."""
+    feature frame out, NumPy work vectorized per batch; the embedding is
+    the first ``embedding_dim`` pixel values scaled to [0, 1] (raw
+    float32, no re-rounding)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,7 +185,10 @@ def image_features(df: DataFrame, url_col: str = "url",
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                arr = _decode_image(payload)
+                try:
+                    arr = _decode_image(payload)
+                except ValueError:
+                    continue
                 urls.append(url)
                 mtypes.append(sniff_media_type(payload))
                 heights.append(arr.shape[0])
@@ -158,7 +196,9 @@ def image_features(df: DataFrame, url_col: str = "url",
                 means.append(arr.mean(axis=(0, 1)).round(6).tolist())
                 flat = arr.astype(np.float32).reshape(-1)
                 emb = flat[:embedding_dim] / 255.0
-                embs.append(emb.round(6).tolist())
+                embs.append(emb.tolist())
+            if not urls:
+                continue  # empty frames infer non-list column dtypes
             yield pd.DataFrame({
                 "url": urls, "media_type": mtypes, "height": heights,
                 "width": widths, "mean_rgb": means, "embedding": embs,
@@ -204,6 +244,8 @@ def video_frame_features(df: DataFrame, url_col: str = "url",
                     hs.append(arr.shape[0])
                     ws.append(arr.shape[1])
                     means.append(arr.mean(axis=(0, 1)).round(6).tolist())
+            if not urls:
+                continue  # empty frames infer non-list column dtypes
             yield pd.DataFrame({
                 "url": urls, "n_frames": nf, "frame_index": idx,
                 "height": hs, "width": ws, "mean_rgb": means,
@@ -216,45 +258,114 @@ def video_frame_features(df: DataFrame, url_col: str = "url",
 AUDIO_FEATURE_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
     T.StructField("rms", T.DoubleType()),
     T.StructField("zero_crossings", T.IntegerType()),
 ])
 
 
-def _decode_audio(payload: bytes, n_samples: int = 1024) -> np.ndarray:
-    """STUB audio decode (no codec libs in this environment): a
-    deterministic fake PCM stream derived from the payload's sha256, so
-    the feature math and batch shapes run for real."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("audio codec not available in this env")
-    digest = hashlib.sha256(bytes(payload)).digest()
-    reps = (n_samples * 2 + len(digest) - 1) // len(digest)
-    raw = np.frombuffer((digest * reps)[:n_samples * 2], dtype=np.int16)
-    return raw.astype(np.float64) / 32768.0
+def _decode_audio(payload: bytes,
+                  n_samples: int = 1024) -> "tuple[np.ndarray, int]":
+    """Decode an audio payload to (mono float64 PCM in [-1, 1], rate).
+
+    WAV decodes FOR REAL (codecs.decode_wav; multi-channel mixes down by
+    channel mean).  Compressed formats (mp3/ogg/…) need external codecs —
+    deterministic fake under ``FAKE_DECODE`` (sha256-derived PCM at a
+    nominal 8000 Hz), NotImplementedError otherwise.  ValueError for
+    non-audio payloads (callers skip)."""
+    mtype = sniff_media_type(payload)
+    if mtype == "audio/wav":
+        samples, rate = decode_wav(bytes(payload))
+        return samples.mean(axis=1), rate
+    if mtype == "audio/mpeg":
+        if not FAKE_DECODE:
+            raise NotImplementedError(
+                "no stdlib codec for compressed audio")
+        digest = hashlib.sha256(bytes(payload)).digest()
+        reps = (n_samples * 2 + len(digest) - 1) // len(digest)
+        raw = np.frombuffer((digest * reps)[:n_samples * 2], dtype=np.int16)
+        return raw.astype(np.float64) / 32768.0, 8000
+    raise ValueError(f"not an audio payload ({mtype})")
 
 
 def audio_features(df: DataFrame, url_col: str = "url",
                    payload_col: str = "payload",
                    n_samples: int = 1024) -> DataFrame:
     """Decode -> per-clip audio features (RMS energy, zero-crossing
-    count) over audio payloads; decode stubbed, plumbing real."""
+    count, sample rate) over audio payloads.  WAV decodes for real;
+    undecodable payloads are skipped (see :func:`image_features`)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, ns, rms, zc = [], [], [], []
+            urls, ns, rates, rms, zc = [], [], [], [], []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                pcm = _decode_audio(payload, n_samples)
+                try:
+                    pcm, rate = _decode_audio(payload, n_samples)
+                except ValueError:
+                    continue
                 urls.append(url)
                 ns.append(len(pcm))
-                rms.append(round(float(np.sqrt((pcm ** 2).mean())), 6))
+                rates.append(rate)
+                rms.append(round(float(np.sqrt((pcm ** 2).mean())), 6)
+                           if len(pcm) else 0.0)
                 zc.append(int((np.signbit(pcm[1:]) !=
                                np.signbit(pcm[:-1])).sum()))
             yield pd.DataFrame({
-                "url": urls, "n_samples": ns, "rms": rms,
-                "zero_crossings": zc,
+                "url": urls, "n_samples": ns, "sample_rate": rates,
+                "rms": rms, "zero_crossings": zc,
             })
 
     return df.select(url_col, payload_col).mapInPandas(
         process, AUDIO_FEATURE_SCHEMA)
+
+
+def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(url, payload): a VALID 16x16 RGB PNG per row whose pixel stream
+    is the row text's sha256 digest repeated (24x32 bytes = 768 = 16*16*3).
+
+    Deterministic and ORACLE-COMPUTABLE: an external SQL engine can
+    predict every decoded-pixel statistic from sha256(text) alone, which
+    turns the full encode -> Spark binary column -> real decode ->
+    feature path into a hash-checkable query."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.sha256(
+                    (text or "").encode("utf-8")).digest()
+                arr = np.frombuffer((digest * 24)[:768],
+                                    dtype=np.uint8).reshape(16, 16, 3)
+                urls.append(str(doc_id))
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_samples: int = 1024,
+                      sample_rate: int = 8000) -> DataFrame:
+    """(url, payload): a VALID 16-bit mono WAV per row whose PCM stream is
+    the row text's sha256 digest repeated, read as little-endian int16 —
+    same oracle-computable construction as :func:`synth_png_payload`."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.sha256(
+                    (text or "").encode("utf-8")).digest()
+                reps = (n_samples * 2 + len(digest) - 1) // len(digest)
+                raw = np.frombuffer((digest * reps)[:n_samples * 2],
+                                    dtype="<i2")
+                urls.append(str(doc_id))
+                payloads.append(encode_wav(raw, sample_rate))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")

@@ -143,7 +143,11 @@ def test_multimodal_plumbing(spark, pages_path):
     assert got["u1"].media_type == "image/png"
     assert got["u2"].media_type == "image/jpeg"
 
+    # u1 is a PNG signature with a garbage body: the REAL decoder rejects
+    # it and the row is skipped; u2 (JPEG, no stdlib codec) takes the
+    # documented deterministic fake
     feats = image_features(png).collect()
+    assert {f.url for f in feats} == {"u2"}
     assert {(f.height, f.width) for f in feats} == {(16, 16)}
     assert all(len(f.embedding) == 16 for f in feats)
     # deterministic fake: same payload -> same features
@@ -645,8 +649,21 @@ def test_video_and_audio_plumbing(spark):
     again = video_frame_features(payloads, n_frames=3).collect()
     assert sorted(map(str, frames)) == sorted(map(str, again))
 
-    clips = audio_features(payloads).collect()
-    assert len(clips) == 2
-    for c in clips:
-        assert c.n_samples == 1024 and 0.0 < c.rms < 1.0
-        assert 0 < c.zero_crossings < 1024
+    # audio_features skips non-audio payloads (the video rows), decodes
+    # real WAV bytes, and fake-decodes compressed audio (ID3/mp3)
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import encode_wav
+
+    wav = encode_wav(
+        np.array([3000, -3000] * 100, dtype=np.int16), 16000)
+    audio = spark.createDataFrame(
+        [("a1", bytearray(wav)), ("a2", b"ID3" + b"z" * 64),
+         ("v1", b"\x00\x00\x00\x18ftypmp42" + b"x" * 64)],
+        "url string, payload binary")
+    clips = {c.url: c for c in audio_features(audio).collect()}
+    assert set(clips) == {"a1", "a2"}
+    assert clips["a1"].n_samples == 200
+    assert clips["a1"].sample_rate == 16000
+    assert clips["a1"].zero_crossings == 199
+    assert clips["a2"].n_samples == 1024 and 0.0 < clips["a2"].rms < 1.0
