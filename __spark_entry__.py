@@ -560,8 +560,10 @@ def q_ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second ANN scale path: IVF — a deterministic Lloyd-trained
     coarse quantizer, probe the clusters nearest the query, exact cosine
-    ranking inside them.  Approximate by design -> rows-only check; every
-    returned cosine is exact."""
+    ranking inside them.  Despite being approximate the query IS oracle-
+    checkable: training rounds means/distances so ivf_train_local
+    reproduces the quantizer bit-for-bit, and the oracle embeds those
+    centroids as literals (the ann_lsh_top10 pattern)."""
     from fuzzy_search_spark.pipeline.ann import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -971,6 +973,68 @@ def oracle_sql() -> dict[str, str]:
                                   qb=_bucket_sql("qe", 7 + 1000 * t))
         for t in range(4)))
 
+    # ann_ivf_top10 follows the same literal-constants pattern: the
+    # quantizer is retrained driver-side by ivf_train_local — bit-identical
+    # to the distributed trainer because both round per-iteration means to
+    # 6 decimals and assignment distances to 9 — and embedded as VALUES
+    # literals; assignment, probe choice and the exact cosine ranking then
+    # re-derive in pure SQL.  The driver's gate runs at sf0.01; override
+    # SPARK_GRAFT_ORACLE_SF_DIR to oracle-check another scale.
+    ann_ivf_sql = None
+    try:
+        import pyarrow.parquet as pq
+
+        from fuzzy_search_spark.pipeline.ann import ivf_probes, ivf_train_local
+
+        _sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+        _emb = pq.read_table(f"{_sfdir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        _eids = _emb.column("vec_id").to_pylist()
+        _evecs = _emb.column("embedding").to_pylist()
+        _body = [(i, v) for i, v in zip(_eids, _evecs) if i != 0]
+        _cents = ivf_train_local([b[0] for b in _body],
+                                 [b[1] for b in _body],
+                                 n_clusters=16, iters=2)
+        _q = next([float(x) for x in v]
+                  for i, v in zip(_eids, _evecs) if i == 0)
+        _probes = ivf_probes(_cents, _q, 6)
+        _cent_values = ", ".join(
+            "({cid}, [{v}]::DOUBLE[])".format(
+                cid=cid, v=",".join(repr(float(x)) for x in c))
+            for cid, c in enumerate(_cents))
+        ann_ivf_sql = """
+            WITH cents(cid, cvec) AS (VALUES {cent_values}),
+            body AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id <> 0
+            ), dist AS (
+              SELECT vec_id, cid,
+                     round(list_sum(list_transform(range(1, 65),
+                           i -> (e[i] - cvec[i]) * (e[i] - cvec[i]))), 9)
+                       AS d2
+              FROM body, cents
+            ), assigned AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM dist)
+              WHERE rn = 1
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(b.e, qe), 6) AS cosine
+            FROM body b JOIN assigned a ON a.vec_id = b.vec_id, q
+            WHERE a.cid IN ({probes})
+            ORDER BY cosine DESC, b.vec_id LIMIT 10
+        """.format(cent_values=_cent_values,
+                   probes=", ".join(str(p) for p in _probes))
+    except Exception:  # embeddings table absent: skip this oracle entry
+        ann_ivf_sql = None
+
     simhash_bits = 60
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1328,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY llr DESC, gram LIMIT 20
         """,
         "ann_lsh_top10": ann_lsh_sql,
+        **({"ann_ivf_top10": ann_ivf_sql} if ann_ivf_sql else {}),
         "ann_cosine_top10": """
             WITH q AS (
               SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0

@@ -173,9 +173,13 @@ def ivf_train(df: DataFrame, n_clusters: int = 16, iters: int = 3,
     table against the streaming vectors (assignment = min_by over a
     crossJoin with k rows — a broadcast nested loop whose build side is
     tiny), then one (cid, pos) hash aggregation for the new means; only
-    k x dim numbers ever reach the driver.  Lloyd means depend on float
-    summation order only in the last bits; downstream search results are
-    exact cosines over the probed subset regardless."""
+    k x dim numbers ever reach the driver.
+
+    Cross-engine determinism: per-iteration means are rounded to 6
+    decimals (and assignment distances to 9, see :func:`ivf_assign`), so
+    float-summation order cannot leak into the trained quantizer —
+    :func:`ivf_train_local` reproduces these centroids bit-for-bit from
+    the same rows, which is what makes the IVF query oracle-checkable."""
     vec = F.col(vec_col).cast("array<double>")
     seeds = (
         df.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
@@ -196,7 +200,36 @@ def ivf_train(df: DataFrame, n_clusters: int = 16, iters: int = 3,
         for r in means:
             per_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
         for cid, dims in per_cid.items():
-            new[cid] = [dims[p] for p in sorted(dims)]
+            new[cid] = [round(dims[p], 6) for p in sorted(dims)]
+        cents = new
+    return cents
+
+
+def ivf_train_local(ids, vectors, n_clusters: int = 16,
+                    iters: int = 3) -> List[List[float]]:
+    """Driver-local NumPy mirror of :func:`ivf_train`: identical init
+    (k smallest md5(str(id)) rows), identical assignment (squared
+    euclidean rounded to 9 decimals, ties to the smaller cid), identical
+    6-decimal mean rounding — so the centroids are bit-identical to the
+    distributed trainer's on the same rows.  Used by the DuckDB oracle to
+    embed the quantizer as literals; NOT the production path (it holds
+    every vector in driver memory)."""
+    import hashlib
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    cents = [[float(x) for x in vectors[i]] for i in order[:n_clusters]]
+    vec = np.asarray(vectors, dtype=float)
+    for _ in range(iters):
+        c = np.asarray(cents)
+        d2 = ((vec[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).round(9)
+        assign = d2.argmin(axis=1)  # ties -> first (smaller cid)
+        new = [list(x) for x in cents]
+        for cid in range(n_clusters):
+            mask = assign == cid
+            if mask.any():
+                new[cid] = [round(float(x), 6)
+                            for x in vec[mask].mean(axis=0)]
         cents = new
     return cents
 
@@ -204,15 +237,16 @@ def ivf_train(df: DataFrame, n_clusters: int = 16, iters: int = 3,
 def ivf_assign(df: DataFrame, centroids: List[List[float]],
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """(id, cid): nearest centroid per vector (squared euclidean,
-    deterministic tie-break on the smaller cid)."""
+    """(id, cid): nearest centroid per vector (squared euclidean rounded
+    to 9 decimals so summation order is engine-invariant, deterministic
+    tie-break on the smaller cid)."""
     spark = df.sparkSession
     vec = F.col(vec_col).cast("array<double>")
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>")
     diff = F.zip_with(vec, F.col("cvec"), lambda a, b: (a - b) * (a - b))
-    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    d2 = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 9)
     return (
         df.crossJoin(F.broadcast(cdf))
         .select(F.col(id_col), F.col("cid"), d2.alias("_d2"))
@@ -220,6 +254,15 @@ def ivf_assign(df: DataFrame, centroids: List[List[float]],
         .agg(F.min(F.struct(F.col("_d2"), F.col("cid"))).alias("_best"))
         .select(id_col, F.col("_best.cid").alias("cid"))
     )
+
+
+def ivf_probes(centroids: List[List[float]], query: Sequence[float],
+               n_probes: int) -> List[int]:
+    """The ``n_probes`` centroid ids nearest the query (squared
+    euclidean, ties to the smaller cid) — driver-side, k x dim work."""
+    q = np.asarray(query, dtype=float)
+    d2 = ((np.asarray(centroids) - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:n_probes]]
 
 
 def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
@@ -235,9 +278,7 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     stored as a column, making each query a partition-pruned scan."""
     if centroids is None:
         centroids = ivf_train(df, n_clusters, iters, id_col, vec_col)
-    q = np.asarray(query, dtype=float)
-    d2 = ((np.asarray(centroids) - q) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:n_probes]]
+    probes = ivf_probes(centroids, query, n_probes)
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     candidates = df.join(
         assigned.filter(F.col("cid").isin(probes)).select(id_col), id_col)

@@ -261,6 +261,23 @@ def test_ivf_train_deterministic(spark):
     assert c1 == c2
 
 
+def test_ivf_train_local_matches_distributed(spark):
+    """ivf_train_local is the oracle's quantizer: it must reproduce the
+    distributed trainer's centroids BIT-FOR-BIT (the per-iteration
+    rounding makes float summation order irrelevant)."""
+    import random
+
+    from fuzzy_search_spark.pipeline.ann import ivf_train, ivf_train_local
+
+    rng = random.Random(12)
+    vecs = [(i, [rng.uniform(-2, 2) for _ in range(6)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    dist = ivf_train(df, n_clusters=5, iters=3)
+    local = ivf_train_local([v[0] for v in vecs], [v[1] for v in vecs],
+                            n_clusters=5, iters=3)
+    assert dist == local
+
+
 def test_corpus_clean_chain(spark):
     """Exact dups collapse to the min id, near-dup group members collapse
     to the representative, low-quality docs drop."""
