@@ -182,6 +182,50 @@ def test_connected_components_transitive(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_simhash_families_agree_on_bucketing(spark):
+    """simhash64 (xxhash64, JVM-fast, rows-only checked) and
+    simhash64_portable (md5, oracle-checked) are different hash families
+    but must induce the SAME near-dup structure: every near-dup pair
+    sits below 0.2 normalized hamming in BOTH families, every unrelated
+    pair above 0.3, and the two rankings never interleave — so the fast
+    family is a drop-in for the verified one at scale.  (Measured margin
+    on this corpus: near <= 0.143/0.133, unrelated >= 0.317/0.4.)"""
+    import itertools
+
+    from fuzzy_search_spark.pipeline.dedup import simhash64, simhash64_portable
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors watch from the harbor wall and gulls wheel overhead "
+            "crying into the salt wind of an october morning")
+    docs = [
+        (1, base),
+        (2, base.replace("fox", "cat")),
+        (3, base.replace("october", "november") + " extra tail"),
+        (4, "completely different text about spark query planning and "
+            "catalyst optimizer rules with exchange reuse and adaptive "
+            "execution statistics collected at runtime for skew joins"),
+        (5, "yet another unrelated document on medieval manuscript "
+            "transcription quality and ocr error models for early print"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fast = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    port = {r["doc_id"]: r["simhash"] for r in simhash64_portable(df).collect()}
+    near = {(1, 2), (1, 3), (2, 3)}
+    dists = {}
+    for a, b in itertools.combinations(sorted(fast), 2):
+        dists[(a, b)] = (bin(fast[a] ^ fast[b]).count("1") / 63,
+                         bin(port[a] ^ port[b]).count("1") / 60)
+    for pair, (hf, hp) in dists.items():
+        if pair in near:
+            assert hf < 0.2 and hp < 0.2, (pair, hf, hp)
+        else:
+            assert hf > 0.3 and hp > 0.3, (pair, hf, hp)
+    # rankings never interleave: max near < min unrelated, per family
+    for fam in (0, 1):
+        assert (max(d[fam] for p, d in dists.items() if p in near)
+                < min(d[fam] for p, d in dists.items() if p not in near))
+
+
 def test_connected_components_warns_on_budget_exhaustion(spark):
     """A chain wider than the iteration budget must not silently yield
     split components — the loop warns when it exits unconverged."""

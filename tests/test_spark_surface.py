@@ -123,6 +123,40 @@ def test_streaming_available_now(spark, pages_path, tmp_path):
     assert spark.read.parquet(out).count() == 2 * n_first
 
 
+def test_stream_matches_byte_equals_batch(spark, pages_path, tmp_path):
+    """The exactly-once claim, pinned: an availableNow stream_matches run
+    over sharded input produces BYTE-IDENTICAL rows to the batch
+    match_documents plan on the same pages (streaming is the batch plan
+    under readStream — same broadcast model, same mapInPandas kernel)."""
+    import shutil as _sh
+
+    from fuzzy_search_spark.spark.job import match_documents
+    from fuzzy_search_spark.streaming import stream_matches
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    stream_in = tmp_path / "in"
+    stream_in.mkdir()
+    # two shards so the catch-up run spans multiple micro-batch files
+    _sh.copy(pages_path, stream_in / "part-0.parquet")
+    df = spark.read.parquet(pages_path)
+    extra = df.limit(17)
+    extra.write.mode("overwrite").parquet(str(tmp_path / "extra"))
+    for f in (tmp_path / "extra").glob("*.parquet"):
+        _sh.copy(f, stream_in / "part-1.parquet")
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = stream_matches(spark, str(stream_in), model, out, chk,
+                       available_now=True)
+    q.awaitTermination(120)
+
+    batch_df = match_documents(
+        spark.read.parquet(str(stream_in)), model, html_col="html")
+    batch = sorted(map(str, batch_df.collect()))
+    streamed = sorted(map(str, spark.read.parquet(out)
+                          .select(*batch_df.columns).collect()))
+    assert len(batch) > 0
+    assert streamed == batch
+
+
 def test_multimodal_plumbing(spark, pages_path):
     from fuzzy_search_spark.pipeline.multimodal import (
         image_features,
