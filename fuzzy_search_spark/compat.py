@@ -289,6 +289,42 @@ class FuzzyPhraseSearcher:
         ]
 
 
+class FuzzySearcher(FuzzyPhraseSearcher):
+    """Reference base-searcher surface (searcher.py:23-263): the full
+    default config dict, a tokenizer threaded into the PhraseModel
+    registry, and the gram -> Phrase skipgram index.  The engine's
+    execution state stays the compiled model (this class adds the
+    registry-facing attributes the reference exposes, not a second
+    matcher)."""
+
+    def __init__(self, phrase_list: Optional[List] = None,
+                 phrase_model: Union[List[dict], PhraseModel, None] = None,
+                 config: Optional[dict] = None, tokenizer=None):
+        from collections import defaultdict
+
+        from fuzzy_search_spark.doc import Tokenizer
+        from fuzzy_search_spark.kernels.skipgrams import text2skipgrams
+
+        object.__setattr__(self, "tokenizer",
+                           tokenizer if tokenizer is not None
+                           else Tokenizer())
+        full = dict(default_config)
+        if config:
+            full.update(config)
+        super().__init__(phrase_list=phrase_list, phrase_model=phrase_model,
+                         config=full)
+        entries = [{"phrase": p} if isinstance(p, str) else p
+                   for p in self._phrases]
+        self._phrase_model_obj = PhraseModel(
+            model=entries, config=full, tokenizer=self.tokenizer)
+        self.skipgram_index = defaultdict(set)
+        for phrase in self._phrase_model_obj.get_phrases():
+            for sg in text2skipgrams(phrase.phrase_string,
+                                     ngram_size=full.get("ngram_size", 2),
+                                     skip_size=full.get("skip_size", 2)):
+                self.skipgram_index[sg.string].add(phrase)
+
+
 class FuzzyTokenSearcher:
     """Reference FuzzyTokenSearcher-compatible entry point."""
 
@@ -429,13 +465,76 @@ class PhraseMatchInContext:
         self.suffix = s[match.end:self.context_end]
 
 
+def _validate_cardinality(cardinality):
+    """Reference validate_element_properties (fuzzy_template.py:12-40):
+    None means 'single'; anything but 'single'/'multi' is a ValueError."""
+    if cardinality is None:
+        return "single"
+    if not isinstance(cardinality, str) or cardinality not in (
+            "single", "multi"):
+        raise ValueError("cardinality must be a string with either "
+                         "'single' or 'multi' as value")
+    return cardinality
+
+
+class FuzzyTemplateLabelElement:
+    """Reference-surface label element (fuzzy_template.py:76-111)."""
+
+    def __init__(self, label: str, required: bool = False,
+                 cardinality: str = "single", next_label=None,
+                 next_distance_max=None, variable: bool = False):
+        self.label = label
+        self.type = "label"
+        self.required = required
+        self.cardinality = _validate_cardinality(cardinality)
+        self.next_label = next_label
+        self.next_distance_max = next_distance_max
+        self.variable = variable
+
+    def __repr__(self):
+        return (f"FuzzyTemplateElement(label='{self.label}', "
+                f"required={self.required}, "
+                f"cardinality='{self.cardinality}'")
+
+
+class FuzzyTemplateGroupElement:
+    """Reference-surface group element (fuzzy_template.py:114-150): a
+    group is required if any sub-element is."""
+
+    def __init__(self, elements, label=None, ordered: bool = True,
+                 required: bool = False):
+        self.label = label
+        self.type = "group"
+        self.required = required
+        self.ordered = ordered
+        self.elements = list(elements)
+        self.group_element_labels = set()
+        self.has_variable_element = False
+        for element in self.elements:
+            if isinstance(element, FuzzyTemplateGroupElement):
+                self.group_element_labels |= element.group_element_labels
+                self.has_variable_element = element.has_variable_element
+            else:
+                self.group_element_labels.add(element.label)
+                if getattr(element, "variable", False):
+                    self.has_variable_element = True
+            if element.required:
+                self.required = True
+
+    def __repr__(self):
+        return (f"FuzzyTemplateGroup(label='{self.label}', "
+                f"required={self.required}, ordered='{self.ordered}'")
+
+
 class FuzzyTemplate:
     """Template object tying a phrase model to a template JSON (reference
-    pattern/fuzzy_template.py:188+)."""
+    pattern/fuzzy_template.py:188-330): parse, then index label/group
+    elements and answer the label/phrase/required queries."""
 
     def __init__(self, phrase_model=None, template_json=None,
                  ignore_unknown: bool = False, ordered: bool = False):
-        from fuzzy_search_spark.template import parse_template
+        from fuzzy_search_spark.template import (GroupElement,
+                                                 parse_template)
 
         self.phrase_model = phrase_model
         self.template_json = template_json
@@ -448,6 +547,51 @@ class FuzzyTemplate:
             labels = set(phrase_model.is_label_of)
         self.parsed = parse_template(template_json, known_labels=labels,
                                      ignore_unknown=ignore_unknown)
+        self.label_element_index: dict = {}
+        self.group_element_index: dict = {}
+        self.required: list = []
+
+        def walk(group):
+            if group.label is not None:
+                self.group_element_index[group.label] = group
+            if group.required:
+                pass
+            for el in group.elements:
+                if isinstance(el, GroupElement):
+                    walk(el)
+                else:
+                    self.label_element_index[el.label] = el
+                    if el.required:
+                        self.required.append(el)
+
+        walk(self.parsed.root)
+
+    def has_label(self, label) -> bool:
+        if isinstance(label, list):
+            return any(item in self.label_element_index for item in label)
+        return label in self.label_element_index
+
+    def has_group(self, group: str) -> bool:
+        return group in self.group_element_index
+
+    def get_element(self, element_label: str):
+        if element_label in self.label_element_index:
+            return self.label_element_index[element_label]
+        if element_label in self.group_element_index:
+            return self.group_element_index[element_label]
+        return None
+
+    def get_label_phrases(self, label: str):
+        pm = self.phrase_model
+        if pm is None or label not in pm.is_label_of:
+            return []
+        return [pm.phrase_index[ps] for ps in pm.is_label_of[label]]
+
+    def get_required_elements(self) -> list:
+        return list(self.required)
+
+    def get_required_labels(self) -> list:
+        return [element.label for element in self.required]
 
 
 class FuzzyTemplateSearcher(FuzzyPhraseSearcher):

@@ -75,6 +75,47 @@ def iter_skipgrams(text: str, ngram_size: int = 2,
 
 
 
+class SkipGram:
+    """Reference-surface skipgram record (tokenization/string.py:163-190):
+    string / start_offset / end_offset / length."""
+
+    __slots__ = ("string", "start_offset", "end_offset", "length")
+
+    def __init__(self, skipgram_string: str, start_offset: int,
+                 end_offset: int, skipgram_length: int):
+        self.string = skipgram_string
+        self.start_offset = start_offset
+        self.end_offset = end_offset
+        self.length = skipgram_length
+
+    def __repr__(self):
+        return (f"{self.__class__.__name__}(string='{self.string}', "
+                f"start_offset={self.start_offset}, "
+                f"end_offset={self.end_offset}, length={self.length})")
+
+
+def text2skipgrams(text: str, ngram_size: int = 2,
+                   skip_size: int = 2) -> Iterator[SkipGram]:
+    """Reference-surface generator (tokenization/string.py:217-255):
+    yields :class:`SkipGram` objects in reference order, rejecting
+    non-positive ngram_size / negative skip_size with ValueError.  Thin
+    shell over :func:`iter_skipgrams` (the engine's kernel), including
+    the reference's end_offset bookkeeping quirks."""
+    if ngram_size <= 0 or skip_size < 0:
+        raise ValueError("ngram_size must be a positive integer, "
+                         "skip_size must be a positive integer or zero")
+    n = len(text)
+    if ngram_size == 1:
+        for ci, ch in enumerate(text):
+            yield SkipGram(ch, 0, n - ci + 1, 1)
+        return
+    if n <= ngram_size:
+        yield SkipGram(text, 0, 0, n)
+        return
+    for gram, start, length in iter_skipgrams(text, ngram_size, skip_size):
+        yield SkipGram(gram, start, n - start + 1, length)
+
+
 def skipgram_distance_table(text: str, ngram_size: int = 2,
                             skip_size: int = 2,
                             within_range_threshold: int = 3) -> dict:

@@ -32,13 +32,20 @@ def is_phrase_dict(d) -> bool:
 
 
 class Phrase:
-    """A phrase with label/metadata/offset properties (phrase.py:29-233).
+    """A phrase with label/metadata/offset/token properties
+    (phrase.py:29-233).
 
     The skipgram internals of the reference Phrase belong to the engine's
-    compiled model; this object carries the registry-facing state."""
+    compiled model; this object carries the registry-facing state.  Like
+    the reference, ``label`` holds the raw value (string or list) with
+    ``label_set``/``label_list`` views, max offsets validate to
+    non-negative ints, and passing ``tokenizer=`` tokenizes the phrase
+    and builds a normalized-term -> token-position index."""
 
     def __init__(self, phrase: Union[str, Dict], ngram_size: int = 2,
-                 skip_size: int = 2, tokenizer=None):
+                 skip_size: int = 2, tokenizer=None, tokens=None):
+        from collections import defaultdict
+
         if isinstance(phrase, str):
             phrase = {"phrase": phrase}
         if not is_phrase_dict(phrase):
@@ -51,15 +58,23 @@ class Phrase:
         # an explicit 'metadata' dict if present, and a dict with any key
         # beyond 'phrase' merges the WHOLE input dict in
         self.metadata: Dict = dict(phrase.get("metadata", {}))
-        self.label: Set[str] = set()
+        self.label = None
+        self.label_set: Set[str] = set()
+        self.label_list: List[str] = []
         self.max_start_offset: int = -1
+        self.max_start_end: int = -1
         self.max_end_offset: int = -1
-        self.tokens = tokenizer.tokenize(self.phrase_string) \
-            if tokenizer else None
+        self.max_end_start: int = -1
+        self.tokens = tokens
+        self.token_index: Dict[str, List[int]] = defaultdict(list)
         if "label" in phrase:
             self.set_label(phrase["label"])
         if len(phrase.keys()) > 1:
             self.add_metadata(phrase)
+        if tokens is None and tokenizer is not None:
+            self.tokens = tokenizer.tokenize(self.phrase_string)
+            for ti, token in enumerate(self.tokens):
+                self.token_index[token.n].append(ti)
 
     def __repr__(self):
         return f'Phrase(phrase_string="{self.phrase_string}")'
@@ -68,13 +83,22 @@ class Phrase:
         return len(self.phrase_string)
 
     def set_label(self, label: Union[str, List[str]]):
+        """Store the raw label plus set/list views; non-string labels are
+        rejected with ValueError (reference phrase.py:155-169)."""
+        ok = isinstance(label, str) or (
+            isinstance(label, list)
+            and all(isinstance(x, str) for x in label))
+        if not ok:
+            raise ValueError(
+                "phrase label must be a single string or a list of "
+                "strings:", label)
+        self.label = label
         if isinstance(label, str):
-            self.label = {label}
-        elif isinstance(label, list) and all(isinstance(x, str)
-                                             for x in label):
-            self.label = set(label)
+            self.label_set = {label}
+            self.label_list = [label]
         else:
-            raise TypeError("label must be a string or list of strings")
+            self.label_set = set(label)
+            self.label_list = list(label)
 
     def add_metadata(self, metadata_dict: Dict) -> None:
         """Merge key/value metadata, applying label and max-offset keys
@@ -84,18 +108,34 @@ class Phrase:
             if key == "label":
                 self.set_label(value)
             elif key == "max_start_offset":
-                self.max_start_offset = value
+                self.add_max_start_offset(value)
             elif key == "max_end_offset":
-                self.max_end_offset = value
+                self.add_max_end_offset(value)
+
+    def add_max_start_offset(self, max_start_offset: int) -> None:
+        if not isinstance(max_start_offset, int):
+            raise TypeError("max_start_offset must be a positive integer")
+        if max_start_offset < 0:
+            raise ValueError("max_start_offset must be positive")
+        self.max_start_offset = max_start_offset
+        self.max_start_end = max_start_offset + len(self.phrase_string)
+
+    def add_max_end_offset(self, max_end_offset: int) -> None:
+        if not isinstance(max_end_offset, int):
+            raise TypeError("max_end_offset must be a positive integer")
+        if max_end_offset < 0:
+            raise ValueError("max_end_offset must be positive")
+        self.max_end_offset = max_end_offset
+        self.max_end_start = max_end_offset - len(self.phrase_string)
 
     def has_label(self, label_string: str) -> bool:
-        return label_string in self.label
+        return label_string in self.label_set
 
     def has_max_start_offset(self) -> bool:
-        return self.max_start_offset != -1
+        return self.max_start_offset is not None and self.max_start_offset >= 0
 
     def has_max_end_offset(self) -> bool:
-        return self.max_end_offset != -1
+        return self.max_end_offset is not None and self.max_end_offset >= 0
 
     @property
     def name(self) -> str:
@@ -235,8 +275,8 @@ class PhraseModel:
             phrase.phrase_string)
         self._index_phrase_words(phrase)
         self._index_phrase_tokens(phrase)
-        if phrase.label:
-            self._register_labels(phrase.phrase_string, phrase.label)
+        if phrase.label_set:
+            self._register_labels(phrase.phrase_string, phrase.label_set)
 
     def add_phrases(self, phrases: Iterable[Union[str, Dict, Phrase]]) -> None:
         """Add phrases; full dict entries also register their variants /
@@ -322,8 +362,9 @@ class PhraseModel:
     def add_labels(self, phrase_labels: Iterable[Union[Dict, Phrase]]) -> None:
         for entry in phrase_labels:
             if isinstance(entry, Phrase):
-                if entry.label:
-                    self._register_labels(entry.phrase_string, entry.label)
+                if entry.label_set:
+                    self._register_labels(entry.phrase_string,
+                                          entry.label_set)
                 continue
             if not isinstance(entry, dict) or "label" not in entry:
                 continue
@@ -331,7 +372,8 @@ class PhraseModel:
             labels = {label} if isinstance(label, str) else set(label)
             self._register_labels(entry["phrase"], labels)
             if entry["phrase"] in self.phrase_index:
-                self.phrase_index[entry["phrase"]].label |= labels
+                p = self.phrase_index[entry["phrase"]]
+                p.set_label(sorted(p.label_set | labels))
 
     def add_custom(self, custom: Iterable[Union[Dict, Phrase]]) -> None:
         """Attach each entry's full metadata dict as custom properties of a
@@ -456,7 +498,7 @@ class PhraseModel:
                 | self.has_distractors.get(phrase_string, set())
             if distractors:
                 entry["distractors"] = sorted(distractors)
-            labels = set(phrase.label) \
+            labels = set(phrase.label_set) \
                 | self.has_labels.get(phrase_string, set())
             if labels:
                 entry["label"] = (sorted(labels)[0] if len(labels) == 1

@@ -39,6 +39,34 @@ CASES = [
                         "Token", "Doc")})],
         "test/test_tokenization_token.py", None, id="token_tokenizer"),
     pytest.param(
+        [("fuzzy_search.phrase.phrase",
+          {"text2skipgrams":
+           "fuzzy_search_spark.kernels.skipgrams:text2skipgrams",
+           "Phrase": "fuzzy_search_spark.phrase_model:Phrase"}),
+         ("fuzzy_search.tokenization.token",
+          {name: f"fuzzy_search_spark.doc:{name}"
+           for name in ("Tokenizer", "Token", "Doc")})],
+        "test/test_phrase_phrase.py", None, id="phrase"),
+    pytest.param(
+        [("fuzzy_search.pattern.fuzzy_template",
+          {"FuzzyTemplate": "fuzzy_search_spark.compat:FuzzyTemplate",
+           "FuzzyTemplateGroupElement":
+           "fuzzy_search_spark.compat:FuzzyTemplateGroupElement",
+           "FuzzyTemplateLabelElement":
+           "fuzzy_search_spark.compat:FuzzyTemplateLabelElement"}),
+         ("fuzzy_search.phrase.phrase",
+          {"Phrase": "fuzzy_search_spark.phrase_model:Phrase"}),
+         ("fuzzy_search.phrase.phrase_model",
+          {"PhraseModel": "fuzzy_search_spark.phrase_model:PhraseModel"})],
+        "test/test_pattern_template.py", None, id="pattern_template"),
+    pytest.param(
+        [("fuzzy_search.search.searcher",
+          {"FuzzySearcher": "fuzzy_search_spark.compat:FuzzySearcher"}),
+         ("fuzzy_search.tokenization.token",
+          {name: f"fuzzy_search_spark.doc:{name}"
+           for name in ("Tokenizer", "Token", "Doc")})],
+        "test/test_search_searcher.py", None, id="base_searcher"),
+    pytest.param(
         [("fuzzy_search.search.phrase_searcher",
           {"FuzzyPhraseSearcher":
            "fuzzy_search_spark.compat:FuzzyPhraseSearcher"})],
