@@ -120,46 +120,61 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
 _CAL_STATE: dict = {}
 
 
-def _matcher_burn(_):
+def _e2e_kernel_burn(_):
+    """The e2e job's per-document kernel — extract THEN match — exactly
+    the instruction mix the Spark tasks run (string-heavy extraction is
+    memory-bandwidth-bound and scales differently from the pure match
+    loop, so burning only the matcher would mis-state the ceiling)."""
     t0 = time.monotonic()
     n = 0
+    from fuzzy_search_spark.extract import extract_html
     from fuzzy_search_spark.matcher import find_matches
 
-    for tx in _CAL_STATE["texts"]:
-        n += len(find_matches(tx, _CAL_STATE["model"]))
+    for h in _CAL_STATE["htmls"]:
+        n += len(find_matches(extract_html(h), _CAL_STATE["model"]))
     return time.monotonic() - t0
 
 
-def calibrate_hw_ceiling(corpus_path: str, n_small: int, n_big: int) -> dict:
-    """Hardware scaling ceiling of this box FOR THIS WORKLOAD: the match
-    kernel itself (no Spark, no I/O) run as a plain multiprocessing pool
-    at both widths.  On an overcommitted/turbo-scaled VM, N resident
-    processes each run slower than a few, which caps ANY job's N->4N
-    efficiency below 1.0 regardless of engine quality.  Normalizing the
-    Spark job's efficiency by this ceiling isolates the part the engine is
-    responsible for (scheduling, Arrow channel, stragglers, write)."""
+def calibrate_hw_ceiling(corpus_path: str, n_small: int, n_big: int,
+                         repeats: int = 3) -> dict:
+    """Hardware scaling ceiling of this box FOR THIS WORKLOAD: the e2e
+    document kernel (extract_html + find_matches, no Spark, no I/O) run
+    as a plain multiprocessing pool at both widths.  On an overcommitted/
+    turbo-scaled VM, N resident processes each run slower than a few,
+    which caps ANY job's N->4N efficiency below 1.0 regardless of engine
+    quality.  Normalizing the Spark job's efficiency by this ceiling
+    isolates the part the engine is responsible for (scheduling, Arrow
+    channel, stragglers, write).
+
+    Methodology matches the wall measurements: the width pair is measured
+    ``repeats`` times in alternation (so minute-scale host drift hits
+    both widths equally) and each width keeps its LEAST-CONTAMINATED
+    (minimum) per-worker time — the same best-of-N rule the e2e walls
+    use."""
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
 
-    from fuzzy_search_spark.extract import extract_html
     from fuzzy_search_spark.fixtures import README_CONFIG, README_MODEL
     from fuzzy_search_spark.model import compile_model
 
     shard = sorted(os.listdir(corpus_path))[0]
     table = pq.read_table(os.path.join(corpus_path, shard), columns=["html"])
-    texts = [extract_html(h) for h in table.column("html").to_pylist()[:160]]
-    # fork shares model+texts copy-on-write with the workers
+    # fork shares model+htmls copy-on-write with the workers
     _CAL_STATE["model"] = compile_model(README_MODEL, README_CONFIG)
-    _CAL_STATE["texts"] = texts
-    out = {}
-    for n in (n_small, n_big):
-        with mp.Pool(n) as pool:
-            ts = pool.map(_matcher_burn, range(n * 2))
-        out[n] = sum(ts) / len(ts)
-    return {"per_worker_s_small": round(out[n_small], 3),
-            "per_worker_s_big": round(out[n_big], 3),
-            "ceiling": round(out[n_small] / out[n_big], 3)}
+    _CAL_STATE["htmls"] = table.column("html").to_pylist()[:160]
+    out = {n_small: [], n_big: []}
+    for _ in range(repeats):
+        for n in (n_small, n_big):
+            with mp.Pool(n) as pool:
+                ts = pool.map(_e2e_kernel_burn, range(n * 2))
+            out[n].append(sum(ts) / len(ts))
+    best_small, best_big = min(out[n_small]), min(out[n_big])
+    return {"per_worker_s_small": round(best_small, 3),
+            "per_worker_s_big": round(best_big, 3),
+            "per_worker_samples": {str(n): [round(x, 3) for x in v]
+                                   for n, v in out.items()},
+            "ceiling": round(best_small / best_big, 3)}
 
 
 def main() -> None:
@@ -184,35 +199,47 @@ def main() -> None:
     # estimate of the engine's cost, and three samples stabilize the
     # N-vs-4N efficiency ratio that single samples visibly jitter
     big = run_extract_match(spark, corpus_path, "/tmp/bench_matches")
-    for _ in range(2):
-        rerun = run_extract_match(spark, corpus_path, "/tmp/bench_matches",
-                                  warmup=False)
-        big["wall_s"] = min(big["wall_s"], rerun["wall_s"])
-    queries["extract_match_e2e"] = round(big["wall_s"], 3)
-    docs_per_sec = n_docs / big["wall_s"]
+    big_walls = [big["wall_s"]]
+    if not SCALING:
+        # no scaling half: take the remaining best-of-3 samples in-session
+        for _ in range(2):
+            rerun = run_extract_match(spark, corpus_path,
+                                      "/tmp/bench_matches", warmup=False)
+            big_walls.append(rerun["wall_s"])
 
     queries.update(bench_sf_queries(spark, SF_DIR))
     spark.stop()
 
     scaling = {}
     if SCALING:
-        small = get_spark(master=f"local[{SMALL_CPUS}]",
-                          app_name="bench-small", conf=split_conf)
-        small.sparkContext.setLogLevel("ERROR")
-        small_run = run_extract_match(small, corpus_path,
-                                      "/tmp/bench_matches_small")
-        for _ in range(2):
-            rerun = run_extract_match(small, corpus_path,
-                                      "/tmp/bench_matches_small",
-                                      warmup=False)
-            small_run["wall_s"] = min(small_run["wall_s"], rerun["wall_s"])
-        small.stop()
-        t_small, t_big = small_run["wall_s"], big["wall_s"]
+        # the remaining big samples are interleaved with the small ones
+        # (B S B S B S), one fresh warmed session each, so minute-scale
+        # host drift hits both widths equally instead of biasing the
+        # ratio toward whichever width happened to run later
+        small_walls = []
+        for _ in range(3):
+            small = get_spark(master=f"local[{SMALL_CPUS}]",
+                              app_name="bench-small", conf=split_conf)
+            small.sparkContext.setLogLevel("ERROR")
+            small_walls.append(run_extract_match(
+                small, corpus_path, "/tmp/bench_matches_small")["wall_s"])
+            small.stop()
+            if len(big_walls) < 3:
+                bigs = get_spark(master=f"local[{CPUS}]",
+                                 app_name="bench-big", conf=split_conf)
+                bigs.sparkContext.setLogLevel("ERROR")
+                big_walls.append(run_extract_match(
+                    bigs, corpus_path, "/tmp/bench_matches")["wall_s"])
+                bigs.stop()
+        t_small, t_big = min(small_walls), min(big_walls)
         ratio = CPUS / SMALL_CPUS
         efficiency = (t_small / t_big) / ratio
         hw = calibrate_hw_ceiling(corpus_path, SMALL_CPUS, CPUS)
         scaling = {
             "cpus_small": SMALL_CPUS, "cpus_big": CPUS,
+            "walls_small": [round(w, 2) for w in small_walls],
+            "walls_big": [round(w, 2) for w in big_walls],
+            "hw_samples": hw["per_worker_samples"],
             "wall_s_small": round(t_small, 3), "wall_s_big": round(t_big, 3),
             "docs_per_sec_small": round(n_docs / t_small, 1),
             "docs_per_sec_big": round(n_docs / t_big, 1),
@@ -228,8 +255,11 @@ def main() -> None:
             "efficiency_normalized": round(
                 min(efficiency / hw["ceiling"], 1.0), 3),
         }
+    best_big = min(big_walls)
+    queries["extract_match_e2e"] = round(best_big, 3)
+    docs_per_sec = n_docs / best_big
+    if scaling:
         _write_baseline_md(n_docs, big, scaling, queries)
-
     result = {
         "metric": "fuzzy-extract docs/sec + per-query sec",
         "value": round(sum(queries.values()), 3),
@@ -273,11 +303,14 @@ cores: {scaling['efficiency']} raw; hardware ceiling at these widths
 {scaling['hw_ceiling']}; engine share of attainable scaling
 {scaling['efficiency_normalized']}** (target >= 0.8 per BASELINE.json).
 
-The ceiling is measured, not assumed: the match kernel itself (plain
-multiprocessing pool, no Spark, no I/O) run as {scaling['cpus_small']} vs
-{scaling['cpus_big']} resident worker processes takes
-{scaling['hw_per_worker_s'][0]} vs {scaling['hw_per_worker_s'][1]} s per
-worker on this VM — its {scaling['cpus_big']} vCPUs are overcommitted/
+The ceiling is measured, not assumed: the e2e document kernel itself
+(extract_html + find_matches — the exact instruction mix of the Spark
+tasks — in a plain multiprocessing pool, no Spark, no I/O) run as
+{scaling['cpus_small']} vs {scaling['cpus_big']} resident worker
+processes takes {scaling['hw_per_worker_s'][0]} vs
+{scaling['hw_per_worker_s'][1]} s per worker on this VM (best of 3
+alternating width pairs, the same least-contaminated-run rule as the
+walls) — its {scaling['cpus_big']} vCPUs are overcommitted/
 turbo-scaled, so NO engine running this workload can scale past
 {scaling['hw_ceiling']} between these widths.  The Spark job reaches
 {scaling['efficiency_normalized']} of that attainable scaling (the
