@@ -145,6 +145,12 @@ class TokenModel:
     # so a pathological distinct-token stream cannot grow without limit
     runtime_probe_cache: Dict[str, List[Tuple[str, "MatchType"]]] = field(
         default_factory=dict, compare=False)
+    # vectorized gram index (built at compile, ships with the broadcast):
+    # sorted int64 gram keys + CSR buckets of phrase-token ids, so one
+    # probe is a searchsorted + a NumPy gather instead of a Python loop
+    # over every candidate of every gram — the token-pipeline analog of
+    # the phrase matcher's GramScanner
+    probe_index: object = field(default=None, compare=False)
 
 
 def _is_distractor(text_token: str, phrase_token: str,
@@ -268,6 +274,8 @@ def compile_token_model(phrases: Sequence[Union[str, dict]],
             if tok_n not in lst:
                 lst.append(tok_n)
 
+    tm.probe_index = _build_probe_index(tm)
+
     # vocabulary: user terms + every phrase token; classify match vs
     # distractor pairs, then precompute each term's typed match list
     tm.vocab_terms = set(vocabulary or [])
@@ -275,9 +283,11 @@ def compile_token_model(phrases: Sequence[Union[str, dict]],
     # NB: the reference builds the probe token with char_index=0 and
     # char_end_index=len(term), so the within-offset check applies at
     # compile time too (token_searcher.py:466-495,563-577)
+    # distractor classification iterates ALL gram-sharing candidates —
+    # including ones whose match type is NONE (the reference's
+    # match_start_offsets carry no threshold filter)
     for term in sorted(tm.vocab_terms):
-        probe = _probe_token(term, 0, len(term), tm)
-        for ptoken, _mtype in probe:
+        for ptoken in _probe_candidate_ptokens(term, tm):
             if _is_distractor(term, ptoken):
                 tm.distractor_pairs.add((term, ptoken))
     for term in sorted(tm.vocab_terms):
@@ -303,6 +313,98 @@ def _within_offsets(tm: TokenModel, ptoken: str, char_index: int,
 _PROBE_CACHE_MAX = 262144
 
 
+class _ProbeIndex:
+    """CSR gram -> phrase-token-id index for the vectorized probe.
+
+    Bucket order per gram preserves ``gram_to_ptokens`` list order, and
+    candidate emission order is by first matched occurrence — both
+    identical to the Python accumulation loop, so the two probe paths
+    are interchangeable bit-for-bit (pinned by test)."""
+
+    __slots__ = ("keys", "offsets", "bucket_pids", "ptokens",
+                 "num_skips_arr", "len_arr")
+
+    def __init__(self, keys, offsets, bucket_pids, ptokens, num_skips_arr,
+                 len_arr):
+        self.keys = keys
+        self.offsets = offsets
+        self.bucket_pids = bucket_pids
+        self.ptokens = ptokens
+        self.num_skips_arr = num_skips_arr
+        self.len_arr = len_arr
+
+
+def _build_probe_index(tm: TokenModel):
+    """Build the vectorized probe index (None when gram keys cannot fold
+    into int64: ngram_size > 3)."""
+    import numpy as np
+
+    from fuzzy_search_spark.kernels.skipgrams import encode_gram
+
+    if tm.ngram_size > 3 or not tm.gram_to_ptokens:
+        return None
+    ptokens = list(tm.token_in_phrase)
+    pid_of = {pt: i for i, pt in enumerate(ptokens)}
+    items = sorted((encode_gram(g), g) for g in tm.gram_to_ptokens)
+    keys = np.fromiter((k for k, _ in items), dtype=np.int64,
+                       count=len(items))
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    buckets = []
+    for i, (_k, gram) in enumerate(items):
+        plist = tm.gram_to_ptokens[gram]
+        offsets[i + 1] = offsets[i] + len(plist)
+        buckets.append(np.fromiter((pid_of[p] for p in plist),
+                                   dtype=np.int32, count=len(plist)))
+    bucket_pids = (np.concatenate(buckets) if buckets
+                   else np.zeros(0, dtype=np.int32))
+    num_skips_arr = np.fromiter((tm.token_num_skips[p] for p in ptokens),
+                                dtype=np.float64, count=len(ptokens))
+    len_arr = np.fromiter((len(p) for p in ptokens), dtype=np.int64,
+                          count=len(ptokens))
+    return _ProbeIndex(keys, offsets, bucket_pids, ptokens, num_skips_arr,
+                       len_arr)
+
+
+def _probe_candidate_ptokens(token_n: str, tm: TokenModel) -> List[str]:
+    """EVERY phrase token sharing at least one skipgram with ``token_n``,
+    in first-matched-occurrence order and with NO threshold filtering —
+    the candidate set the reference's vocabulary distractor classification
+    iterates (get_token_skipgram_matches match_start_offsets,
+    token_searcher.py:466-495): distractor pairs are classified even for
+    candidates whose match type would be NONE."""
+    skips = token_skipgrams(token_n, tm.ngram_size, tm.skip_size,
+                            tm.pad_token)
+    idx: _ProbeIndex = tm.probe_index
+    if idx is not None:
+        import numpy as np
+
+        from fuzzy_search_spark.kernels.skipgrams import encode_gram
+
+        keys = np.fromiter((encode_gram(g) for g, _s, _l in skips),
+                           dtype=np.int64, count=len(skips))
+        pos = np.searchsorted(idx.keys, keys)
+        np.minimum(pos, max(len(idx.keys) - 1, 0), out=pos)
+        occ_hits = np.nonzero(idx.keys[pos] == keys)[0] \
+            if len(idx.keys) else np.zeros(0, dtype=np.int64)
+        if not occ_hits.size:
+            return []
+        starts = idx.offsets[pos[occ_hits]]
+        counts = idx.offsets[pos[occ_hits] + 1] - starts
+        total = int(counts.sum())
+        base = np.cumsum(counts) - counts
+        gather = (np.repeat(starts - base, counts)
+                  + np.arange(total, dtype=np.int64))
+        pids = idx.bucket_pids[gather]
+        upids, first_idx = np.unique(pids, return_index=True)
+        order = np.argsort(first_idx, kind="stable")
+        return [idx.ptokens[pid] for pid in upids[order].tolist()]
+    seen: Dict[str, None] = {}
+    for gram, _s, _l in skips:
+        for ptoken in tm.gram_to_ptokens.get(gram, ()):
+            seen.setdefault(ptoken)
+    return list(seen)
+
+
 def _probe_token_raw(token_n: str,
                      tm: TokenModel) -> List[Tuple[str, MatchType]]:
     """Offset-free skipgram probe of one text token against phrase tokens,
@@ -311,31 +413,106 @@ def _probe_token_raw(token_n: str,
     gram accumulation, so they apply as post-filters (see _probe_token and
     compile_token_model) and the raw probe caches cleanly — the Spark
     analog of the reference's vocabulary skipgram-match cache
-    (token_searcher.py:563-577,1095-1122)."""
+    (token_searcher.py:563-577,1095-1122).
+
+    Two equivalent paths: the NumPy one (searchsorted + gather +
+    per-candidate overlap prefilter; candidates whose overlaps cannot
+    clear skipgram_threshold are dropped before scoring — they would
+    type as NONE, which every consumer discards) and the Python
+    accumulation loop (ngram_size > 3, or no index).  Output order is
+    first-matched-occurrence order in both."""
     cache = tm.runtime_probe_cache
     hit = cache.get(token_n)
     if hit is not None:
         return hit
     skips = token_skipgrams(token_n, tm.ngram_size, tm.skip_size,
                             tm.pad_token)
-    # per ptoken: [distinct gram set, first (start,len), last (start,len)]
-    matched: Dict[str, list] = {}
-    for gram, start, length in skips:
-        plist = tm.gram_to_ptokens.get(gram)
-        if not plist:
-            continue
-        for ptoken in plist:
-            ent = matched.get(ptoken)
-            if ent is None:
-                matched[ptoken] = [{gram}, (start, length), (start, length)]
-            else:
-                ent[0].add(gram)
-                ent[2] = (start, length)
     num_skips = len(skips)
-    out = []
-    for ptoken, (gram_set, first, last) in matched.items():
-        out.append((ptoken, _match_type(token_n, num_skips, len(gram_set),
-                                        first, last, ptoken, tm)))
+    out: List[Tuple[str, MatchType]] = []
+    idx: _ProbeIndex = tm.probe_index
+    if idx is not None:
+        import numpy as np
+
+        from fuzzy_search_spark.kernels.skipgrams import encode_gram
+
+        keys = np.fromiter((encode_gram(g) for g, _s, _l in skips),
+                           dtype=np.int64, count=num_skips)
+        pos = np.searchsorted(idx.keys, keys)
+        np.minimum(pos, len(idx.keys) - 1, out=pos)
+        hit_mask = idx.keys[pos] == keys
+        occ_hits = np.nonzero(hit_mask)[0]
+        if occ_hits.size:
+            starts = idx.offsets[pos[occ_hits]]
+            counts = idx.offsets[pos[occ_hits] + 1] - starts
+            total = int(counts.sum())
+            base = np.cumsum(counts) - counts
+            gather = (np.repeat(starts - base, counts)
+                      + np.arange(total, dtype=np.int64))
+            pids = idx.bucket_pids[gather]
+            # distinct-gram mask: first occurrence of each distinct key
+            seen: set = set()
+            dmask = np.zeros(occ_hits.size, dtype=bool)
+            kh = keys[occ_hits]
+            for j in range(occ_hits.size):
+                k = int(kh[j])
+                if k not in seen:
+                    seen.add(k)
+                    dmask[j] = True
+            upids, first_idx = np.unique(pids, return_index=True)
+            last_idx = total - 1 - np.unique(pids[::-1], return_index=True)[1]
+            _u, dcounts = np.unique(pids[np.repeat(dmask, counts)],
+                                    return_counts=True)
+            occ_of = np.repeat(occ_hits, counts)
+            # vectorized _match_type over all candidates at once: same
+            # arithmetic, same comparisons, same tie semantics as the
+            # scalar function (pinned equivalent by test)
+            to = dcounts / num_skips if num_skips else dcounts * 0.0
+            po = dcounts / idx.num_skips_arr[upids]
+            skip_starts = np.fromiter((s for _g, s, _l in skips),
+                                      dtype=np.int64, count=num_skips)
+            skip_ends = np.fromiter((s + l for _g, s, l in skips),
+                                    dtype=np.int64, count=num_skips)
+            f_occ = occ_of[first_idx]
+            l_occ = occ_of[last_idx]
+            ov_start = skip_starts[f_occ]
+            ov_end = skip_ends[l_occ]
+            len_tok = len(token_n)
+            len_pt = idx.len_arr[upids]
+            lv = np.where(to > po, len_tok - (ov_end - ov_start),
+                          len_pt - (ov_end - ov_start))
+            thr = tm.skipgram_threshold
+            mtlv = tm.max_token_length_variance
+            keep = (((to >= thr) | (po >= thr)) & (lv <= mtlv))
+            order = np.argsort(first_idx[keep], kind="stable")
+            k_pids = upids[keep][order]
+            full = np.abs(len_tok - len_pt[keep][order]) <= mtlv
+            of_phrase = len_tok < len_pt[keep][order]
+            for pid, isfull, isph in zip(k_pids.tolist(), full.tolist(),
+                                         of_phrase.tolist()):
+                out.append((idx.ptokens[pid],
+                            MatchType.FULL if isfull
+                            else (MatchType.PARTIAL_OF_PHRASE_TOKEN if isph
+                                  else MatchType.PARTIAL_OF_TEXT_TOKEN)))
+    else:
+        # per ptoken: [distinct gram set, first (start,len), last (s,l)]
+        matched: Dict[str, list] = {}
+        for gram, start, length in skips:
+            plist = tm.gram_to_ptokens.get(gram)
+            if not plist:
+                continue
+            for ptoken in plist:
+                ent = matched.get(ptoken)
+                if ent is None:
+                    matched[ptoken] = [{gram}, (start, length),
+                                       (start, length)]
+                else:
+                    ent[0].add(gram)
+                    ent[2] = (start, length)
+        for ptoken, (gram_set, first, last) in matched.items():
+            mtype = _match_type(token_n, num_skips, len(gram_set),
+                                first, last, ptoken, tm)
+            if mtype is not MatchType.NONE:
+                out.append((ptoken, mtype))
     if len(cache) >= _PROBE_CACHE_MAX:
         cache.clear()
     cache[token_n] = out

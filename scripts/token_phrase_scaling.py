@@ -39,20 +39,30 @@ def load_texts(n_docs: int = 120):
             for h in table.column("html").to_pylist()[:n_docs]]
 
 
-def build_phrases(texts, n_phrases: int):
-    """Deterministic phrase list: contiguous 2-3 word windows sampled from
-    the corpus itself, so probes genuinely hit."""
+def build_phrases(texts, n_phrases: int, rare: bool = False):
+    """Deterministic phrase list.  Default: contiguous 2-3 word windows
+    sampled from the corpus itself, so probes genuinely hit (a
+    match-DENSE workload).  ``rare``: scrambled cross-document word
+    combinations that almost never occur contiguously — isolates the
+    model-size cost (probe fanout + partial bookkeeping) from the
+    match-emission cost."""
     rng = random.Random(42)
     words_per_doc = [re.findall(r"[A-Za-z]{3,}", t) for t in texts]
+    all_words = [w for ws in words_per_doc for w in ws]
     phrases = []
     seen = set()
     while len(phrases) < n_phrases:
-        words = words_per_doc[rng.randrange(len(words_per_doc))]
-        if len(words) < 4:
-            continue
-        start = rng.randrange(len(words) - 3)
-        n = rng.choice((2, 3))
-        p = " ".join(words[start:start + n])
+        if rare:
+            n = rng.choice((2, 3))
+            p = " ".join(all_words[rng.randrange(len(all_words))]
+                         for _ in range(n))
+        else:
+            words = words_per_doc[rng.randrange(len(words_per_doc))]
+            if len(words) < 4:
+                continue
+            start = rng.randrange(len(words) - 3)
+            n = rng.choice((2, 3))
+            p = " ".join(words[start:start + n])
         if p.lower() in seen:
             continue
         seen.add(p.lower())
@@ -66,12 +76,14 @@ def main():
         find_token_matches,
     )
 
-    sizes = [int(s) for s in sys.argv[1:]] or [200, 1000, 2000, 5000]
+    rare = "--rare" in sys.argv
+    sizes = [int(s) for s in sys.argv[1:]
+             if s != "--rare"] or [200, 1000, 2000, 5000]
     texts = load_texts()
     chars = sum(len(t) for t in texts)
-    print(f"corpus: {len(texts)} docs, {chars} chars")
+    print(f"corpus: {len(texts)} docs, {chars} chars rare={rare}")
     for size in sizes:
-        phrases = build_phrases(texts, size)
+        phrases = build_phrases(texts, size, rare=rare)
         t0 = time.monotonic()
         model = compile_token_model(phrases, {})
         compile_s = time.monotonic() - t0

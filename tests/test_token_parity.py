@@ -164,3 +164,46 @@ def test_user_vocabulary_parity():
     for text in texts:
         assert_tie_equivalent(eng_matches(tm, text),
                               ref_matches(searcher, text), text)
+
+
+def test_vectorized_probe_equals_python_fallback():
+    """The NumPy probe (searchsorted index + vectorized _match_type) and
+    the Python accumulation loop must be interchangeable bit-for-bit:
+    same matches, same distractor pairs, same vocab cache."""
+    import random
+
+    import fuzzy_search_spark.token_matcher as T
+
+    rng = random.Random(77)
+    words = ["confirmatie", "ordonnantie", "resolutie", "missive",
+             "hoogheid", "mogende", "heeren", "daarop", "besloten"]
+    phrases = [" ".join(rng.sample(words, rng.choice((1, 2, 3))))
+               for _ in range(40)]
+    vocab = words[:5]
+    texts = []
+    for _ in range(30):
+        toks = [rng.choice(words) for _ in range(rng.randrange(4, 14))]
+        # OCR-ish corruption
+        toks = ["".join(c if rng.random() > 0.08 else "x" for c in t)
+                for t in toks]
+        texts.append(" ".join(toks))
+
+    m_vec = T.compile_token_model(phrases, {}, vocabulary=vocab)
+    assert m_vec.probe_index is not None
+    orig = T._build_probe_index
+    T._build_probe_index = lambda tm: None
+    try:
+        m_py = T.compile_token_model(phrases, {}, vocabulary=vocab)
+    finally:
+        T._build_probe_index = orig
+    assert m_py.probe_index is None
+    assert m_vec.distractor_pairs == m_py.distractor_pairs
+    assert m_vec.vocab_cache == m_py.vocab_cache
+    for text in texts:
+        a = [(m.phrase, m.variant, m.string, m.offset, m.end,
+              m.levenshtein_similarity)
+             for m in T.find_token_matches(text, m_vec)]
+        b = [(m.phrase, m.variant, m.string, m.offset, m.end,
+              m.levenshtein_similarity)
+             for m in T.find_token_matches(text, m_py)]
+        assert a == b, text
