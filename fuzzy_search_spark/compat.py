@@ -448,6 +448,94 @@ class FuzzyContextSearcher(FuzzyPhraseSearcher):
         return out
 
 
+class PhraseMatch:
+    """Reference-constructor match object (match/phrase_match.py:56-297):
+    ``PhraseMatch(phrase, variant, match_string, match_offset, ...)`` with
+    the W3C Web-Annotation serialization.  The engine's own results flow
+    through PhraseMatchResult; this class is the public surface users
+    construct directly (and the reference's own tests exercise)."""
+
+    def __init__(self, match_phrase, match_variant, match_string: str,
+                 match_offset: int, ignorecase: bool = False,
+                 text_id=None, match_scores: Optional[dict] = None,
+                 match_label=None, match_id=None,
+                 levenshtein_similarity: Optional[float] = None):
+        import datetime
+        import uuid
+
+        if not isinstance(match_string, str) or \
+                not isinstance(match_offset, int) or match_offset < 0:
+            raise ValueError(
+                "match_string must be a string and match_offset a "
+                "non-negative integer")
+        self.id = match_id if match_id else str(uuid.uuid4())
+        self.created = datetime.datetime.now()
+        self.phrase = match_phrase
+        self.label = getattr(match_phrase, "label", None)
+        if match_label:
+            self.label = match_label
+        self.metadata: dict = {}
+        self.variant = match_variant
+        self.string = match_string
+        self.ignorecase = ignorecase
+        self.offset = match_offset
+        self.end = self.offset + len(self.string)
+        self.text_id = text_id
+        self.character_overlap = None
+        self.ngram_overlap = None
+        self.skipgram_overlap = None
+        self.levenshtein_similarity = levenshtein_similarity
+        if match_scores:
+            self.character_overlap = match_scores.get("char_match")
+            self.ngram_overlap = match_scores.get("ngram_match")
+            self.levenshtein_similarity = match_scores.get(
+                "levenshtein_similarity", levenshtein_similarity)
+
+    def __repr__(self):
+        return (f"PhraseMatch(phrase: '{self.phrase.phrase_string}', "
+                f"variant: '{self.variant.phrase_string}', "
+                f"string: '{self.string}', offset: {self.offset})")
+
+    def as_web_anno(self) -> dict:
+        """W3C Web Annotation (phrase_match.py:239-297): tagging +
+        highlighting bodies, a correcting body only for non-exact
+        matches, a classifying body only when labeled."""
+        if not self.text_id:
+            raise ValueError(
+                "Cannot make target: match object has no text_id")
+        body = [
+            {"type": "TextualBody", "purpose": "tagging", "format": "text",
+             "value": self.phrase.phrase_string},
+            {"type": "TextualBody", "purpose": "highlighting",
+             "format": "text", "value": self.string},
+        ]
+        if self.variant.phrase_string != self.string:
+            body.append({"type": "TextualBody", "purpose": "correcting",
+                         "format": "text",
+                         "value": self.variant.phrase_string})
+        if self.label:
+            body.append({"type": "TextualBody", "purpose": "classifying",
+                         "format": "text", "value": self.label})
+        return {
+            "@context": "http://www.w3.org/ns/anno.jsonld",
+            "id": self.id,
+            "type": "Annotation",
+            "motivation": "classifying",
+            "created": self.created.isoformat(),
+            "generator": {
+                "id": "https://github.com/marijnkoolen/fuzzy-search",
+                "type": "Software",
+                "name": "fuzzy-search drop-in (fuzzy_search_spark)",
+            },
+            "target": {
+                "source": self.text_id,
+                "selector": {"type": "TextPositionSelector",
+                             "start": self.offset, "end": self.end},
+            },
+            "body": body,
+        }
+
+
 class PhraseMatchInContext:
     """A match plus its surrounding text window (reference
     match/phrase_match.py PhraseMatchInContext shape)."""
@@ -463,6 +551,19 @@ class PhraseMatchInContext:
         self.context = s[self.context_start:self.context_end]
         self.prefix = s[self.context_start:match.offset]
         self.suffix = s[match.end:self.context_end]
+
+    def as_web_anno(self) -> dict:
+        """The match's annotation with the position selector joined by a
+        TextQuoteSelector carrying the prefix/exact/suffix context
+        (phrase_match.py:363-380)."""
+        anno = self.match.as_web_anno()
+        position_selector = anno["target"]["selector"]
+        anno["target"]["selector"] = [
+            position_selector,
+            {"type": "TextQuoteSelector", "prefix": self.prefix,
+             "exact": self.match.string, "suffix": self.suffix},
+        ]
+        return anno
 
 
 def _validate_cardinality(cardinality):
@@ -672,5 +773,6 @@ def phrase_match_from_json(match_json: dict) -> PhraseMatchResult:
                              bool(match_json.get("ignorecase")))
 
 
-#: reference alias — `from fuzzy_search import PhraseMatch`
-PhraseMatch = PhraseMatchResult
+# NB: `PhraseMatch` is the real reference-constructor class defined above
+# (engine results flow through PhraseMatchResult, which exposes the same
+# read surface)

@@ -221,3 +221,51 @@ def snap_span(phrase_string: str, candidate_string: str, text: str,
     if end is None or end <= start:
         return None
     return text[start:end], start, end
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface aliases (match/match_offsets.py:120-296): the published
+# function names, as thin shells over the snap_* kernels above.  `text` is
+# the reference's text dict ({'text': ..., 'id': ...}).
+# ---------------------------------------------------------------------------
+
+
+def map_string(affix_string: str, punctuation: str,
+               whitespace_only: bool = False, debug: int = 0) -> str:
+    """Reference map_string (match_offsets.py:272-296)."""
+    return type_map(affix_string, punctuation, whitespace_only)
+
+
+def adjust_match_start_offset(text: dict, match_string: str,
+                              match_offset: int,
+                              debug: int = 0) -> Optional[int]:
+    """Reference adjust_match_start_offset (match_offsets.py:120-163)."""
+    return snap_start(text["text"], match_string, match_offset)
+
+
+def adjust_match_end_offset(phrase_string: str, candidate_string: str,
+                            text: dict, end_offset: int, punctuation: str,
+                            debug: int = 0) -> Optional[int]:
+    """Reference adjust_match_end_offset (match_offsets.py:166-218)."""
+    return snap_end(phrase_string, candidate_string, text["text"],
+                    end_offset, punctuation)
+
+
+def adjust_match_offsets(phrase_string: str, candidate_string: str,
+                         text: dict, candidate_start_offset: int,
+                         candidate_end_offset: int,
+                         punctuation: str = None,
+                         debug: int = 0) -> Optional[dict]:
+    """Reference adjust_match_offsets (match_offsets.py:221-269)."""
+    import string as _string
+
+    if punctuation is None:
+        punctuation = _string.punctuation
+    res = snap_span(phrase_string, candidate_string, text["text"],
+                    candidate_start_offset, candidate_end_offset,
+                    punctuation)
+    if res is None:
+        return None
+    match_string, start, end = res
+    return {"match_string": match_string, "match_start_offset": start,
+            "match_end_offset": end}

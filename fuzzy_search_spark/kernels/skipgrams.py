@@ -116,6 +116,45 @@ def text2skipgrams(text: str, ngram_size: int = 2,
         yield SkipGram(gram, start, n - start + 1, length)
 
 
+def token2skipgrams(token: str, ngram_size: int = 2, skip_size: int = 2,
+                    pad_token: bool = True) -> Iterator[SkipGram]:
+    """Reference-surface generator (tokenization/string.py:258-330):
+    skipgrams of one '#'-padded token, offsets corrected back to the
+    un-padded coordinate space and combination indexes falling in the
+    padding dropped.  Same end_offset bookkeeping quirks as the
+    reference (per-window, from the PADDED window start, capped at the
+    token length)."""
+    if ngram_size <= 0 or skip_size < 0:
+        raise ValueError("ngram_size must be a positive integer, "
+                         "skip_size must be a positive integer or zero")
+    n = len(token)
+    if ngram_size == 1:
+        for ci, ch in enumerate(token):
+            yield SkipGram(ch, 0, n - ci + 1, 1)
+        return
+    if n <= ngram_size and not pad_token:
+        yield SkipGram(token, 0, 0, n)
+        return
+    pad = (ngram_size - 1) if pad_token else 0
+    padded = "#" * pad + token + "#" * pad
+    combos = skipgram_combinations(ngram_size, skip_size)
+    win = ngram_size + skip_size
+    for pstart in range(len(padded)):
+        window = padded[pstart:pstart + win]
+        wlen = len(window)
+        end_offset = min(n - pstart + 1, n)
+        for combo in combos:
+            if combo[-1] >= wlen:
+                continue
+            gram = window[0] + "".join(window[i] for i in combo)
+            idxs = [i + pstart for i in (0,) + combo
+                    if pad <= i + pstart < n + pad]
+            if not idxs:
+                continue
+            yield SkipGram(gram, idxs[0] - pad, end_offset,
+                           idxs[-1] - idxs[0] + 1)
+
+
 def skipgram_distance_table(text: str, ngram_size: int = 2,
                             skip_size: int = 2,
                             within_range_threshold: int = 3) -> dict:

@@ -195,3 +195,56 @@ def non_word_suffix(s: str) -> str:
     if s[-1:] in NON_WORD_AFFIXES_1:
         return s[-1:]
     return ""
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface aliases (tokenization/string.py:19-136): the validated
+# public names the reference exports, as thin shells over the kernels above.
+# ---------------------------------------------------------------------------
+
+
+def make_ngrams(text: str, n) -> List[str]:
+    """Validated '#'-padded n-grams (reference tokenization/string.py:19-38):
+    TypeError on non-string text / non-int size, ValueError on size < 1."""
+    if not isinstance(text, str):
+        raise TypeError("text must be a string")
+    if not isinstance(n, int) or isinstance(n, bool):
+        raise TypeError("n must be a positive integer")
+    if n < 1:
+        raise ValueError("n must be a positive integer")
+    return char_ngrams(text, n)
+
+
+def score_ngram_overlap(term1: str, term2: str, ngram_size: int) -> int:
+    """Reference score_ngram_overlap (string.py:46-65)."""
+    return ngram_overlap(term1, term2, ngram_size)
+
+
+def score_ngram_overlap_ratio(term1: str, term2: str,
+                              ngram_size: int) -> float:
+    """Reference score_ngram_overlap_ratio (string.py:68-83)."""
+    return ngram_overlap_ratio(term1, term2, ngram_size)
+
+
+def score_char_overlap(term1: str, term2: str) -> int:
+    """Reference score_char_overlap (string.py:102-117)."""
+    return char_overlap(term1, term2)
+
+
+def score_char_overlap_ratio(term1: str, term2: str) -> float:
+    """Reference score_char_overlap_ratio (string.py:86-99)."""
+    return char_overlap_ratio(term1, term2)
+
+
+def score_levenshtein_similarity_ratio(term1: str, term2: str,
+                                       score_cutoff=None) -> float:
+    """Reference score_levenshtein_similarity_ratio (string.py:120-136):
+    the normalized indel ratio (exact-float parity pinned by the parity
+    suite).  The reference accepts but IGNORES score_cutoff (its body
+    calls score_ratio without it) — mirrored here."""
+    return indel_similarity(term1, term2)
+
+
+def score_levenshtein_distance(term1: str, term2: str) -> int:
+    """Reference score_levenshtein_distance (string.py:139-163)."""
+    return levenshtein_distance(term1, term2)

@@ -75,6 +75,55 @@ class Phrase:
             self.tokens = tokenizer.tokenize(self.phrase_string)
             for ti, token in enumerate(self.tokens):
                 self.token_index[token.n].append(ti)
+        # skipgram-window thresholds (reference phrase.py:36,76-78); the
+        # skipgram indexes themselves build lazily on first access —
+        # registry-only phrases never pay for them
+        self.early_threshold = 3
+        self.late_threshold = len(self.phrase_string) - 3 - ngram_size
+        self.within_range_threshold = 3
+
+    _SKIPGRAM_LAZY = frozenset({
+        "skipgrams", "skipgram_set", "skipgram_index", "skipgram_freq",
+        "early_skipgram_index", "late_skipgram_index", "skipgrams_lower",
+        "skipgram_index_lower", "skipgram_freq_lower",
+        "early_skipgram_index_lower", "late_skipgram_index_lower",
+        "num_skipgrams",
+    })
+
+    def __getattr__(self, name):
+        if name in type(self)._SKIPGRAM_LAZY:
+            self._build_skipgram_internals()
+            return self.__dict__[name]
+        raise AttributeError(name)
+
+    def _build_skipgram_internals(self) -> None:
+        """Reference Phrase skipgram state (phrase.py:80-99,131-140),
+        built on demand: occurrence list/set/index/frequency plus the
+        early/late window indexes, in cased and lowercased variants."""
+        from collections import Counter, defaultdict
+
+        from fuzzy_search_spark.kernels.skipgrams import text2skipgrams
+
+        for suffix, source in (("", self.phrase_string),
+                               ("_lower", self.phrase_string.lower())):
+            sg = list(text2skipgrams(source, self.ngram_size,
+                                     self.skip_size))
+            idx = defaultdict(list)
+            for s in sg:
+                idx[s.string].append(s)
+            d = self.__dict__
+            d["skipgrams" + suffix] = sg
+            d["skipgram_index" + suffix] = idx
+            d["skipgram_freq" + suffix] = Counter(s.string for s in sg)
+            d["early_skipgram_index" + suffix] = {
+                s.string: s for s in sg
+                if s.start_offset < self.early_threshold}
+            d["late_skipgram_index" + suffix] = {
+                s.string: s for s in sg
+                if s.start_offset + s.length > self.late_threshold}
+        self.__dict__["skipgram_set"] = {
+            s.string for s in self.__dict__["skipgrams"]}
+        self.__dict__["num_skipgrams"] = len(self.__dict__["skipgrams"])
 
     def __repr__(self):
         return f'Phrase(phrase_string="{self.phrase_string}")'
