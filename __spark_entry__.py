@@ -335,16 +335,18 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample + per-frame features over video payloads (decode
-    stubbed; row-per-frame mapInPandas plumbing real)."""
+    """REAL decode end-to-end: encode a valid full-frame APNG per
+    document (frame i's pixels = sha256(text|i) repeated), ship it as a
+    binary column, frame-sample it with the stdlib APNG decoder, extract
+    per-frame features.  Oracle-checkable from sha256(text|i); real
+    video containers (mp4/webm) keep the documented fake sampler."""
     from fuzzy_search_spark.pipeline.multimodal import (
-        synth_payload,
+        synth_apng_payload,
         video_frame_features,
     )
 
-    docs = synth_payload(_docs(spark, sf_dir)).withColumn(
-        "url", F.col("doc_id").cast("string"))
-    feats = video_frame_features(docs.filter(F.col("doc_id") % 10 == 0),
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    feats = video_frame_features(synth_apng_payload(docs, n_frames=3),
                                  n_frames=3)
     return feats.select(
         "url", "n_frames", "frame_index", "height", "width",
@@ -1287,6 +1289,28 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(CASE WHEN j = 0 THEN b END) AS DOUBLE)
                        / 255.0 AS REAL) AS DOUBLE), 6) AS e0
             FROM bytes GROUP BY doc_id ORDER BY url
+        """,
+        # APNG frames: frame i's pixel stream is sha256(text || '|' || i)
+        # repeated — per-frame channel means cover the 32 digest bytes
+        # uniformly, exactly like the still-image case above
+        "video_frame_features": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ), fr AS (
+              SELECT doc_id,
+                     CAST(f AS INT) AS f,
+                     sha256(text || '|' || CAST(f AS VARCHAR)) AS sha
+              FROM docs, (SELECT unnest(generate_series(0, 2)) AS f)
+            ), bytes AS (
+              SELECT doc_id, f,
+                     CAST('0x' || substr(sha, 1 + 2*j, 2) AS INT) AS b
+              FROM fr, (SELECT unnest(generate_series(0, 31)) AS j)
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   3 AS n_frames, f AS frame_index,
+                   16 AS height, 16 AS width,
+                   round(avg(b), 6) AS mean_r
+            FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
         """,
         # WAV PCM stream: digest bytes as little-endian int16 pairs,
         # repeated to 1024 samples; RMS/zero-crossings recomputed from

@@ -6,9 +6,11 @@ bytes in this sandbox.
 Scope (documented, not hidden): PNG bit depth 8, color types 0 (gray),
 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace — the
 overwhelming majority of machine-generated web PNGs; WAV integer PCM
-(8/16/24/32-bit) and float32, any channel count.  JPEG/GIF/video remain
-genuinely un-decodable without codec libraries and keep their clearly
-marked deterministic stubs in multimodal.py.
+(8/16/24/32-bit) and float32, any channel count; APNG full-frame
+animations (the stdlib-decodable video-like format).  JPEG/GIF and real
+video containers (mp4/webm) remain genuinely un-decodable without codec
+libraries and keep their clearly marked deterministic stubs in
+multimodal.py.
 """
 
 from __future__ import annotations
@@ -210,3 +212,111 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
             f"unsupported WAV encoding (format={audio_format} bits={bits})")
     n = len(arr) - len(arr) % ch
     return arr[:n].reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG): the one video-like format decodable with the stdlib
+# alone, reusing the inflate + unfilter machinery above.  Scope: full-frame
+# animations (every fcTL covers the whole canvas at offset 0,0) — the shape
+# machine-generated frame stacks use; partial-frame composition raises.
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(frames, delay_num: int = 1, delay_den: int = 10) -> bytes:
+    """Encode a list of same-shape HxWx3 uint8 frames as a valid APNG
+    (acTL + per-frame fcTL, first frame in IDAT, rest in fdAT)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    for a in arrs:
+        if a.shape != arrs[0].shape or a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("frames must share one HxWx3 shape")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = [PNG_SIGNATURE, _png_chunk(b"IHDR", ihdr),
+           _png_chunk(b"acTL", struct.pack(">II", len(arrs), 0))]
+    seq = 0
+    for fi, arr in enumerate(arrs):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           delay_num, delay_den, 0, 0)
+        out.append(_png_chunk(b"fcTL", fctl))
+        seq += 1
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        comp = zlib.compress(raw, 9)
+        if fi == 0:
+            out.append(_png_chunk(b"IDAT", comp))
+        else:
+            out.append(_png_chunk(b"fdAT", struct.pack(">I", seq) + comp))
+            seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def is_apng(data: bytes) -> bool:
+    """True when PNG bytes carry an acTL chunk before IDAT."""
+    data = bytes(data)
+    if not data.startswith(PNG_SIGNATURE):
+        return False
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack(">I4s", data[pos:pos + 8])
+        if tag == b"acTL":
+            return True
+        if tag in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + length
+    return False
+
+
+def decode_apng(data: bytes):
+    """Decode APNG bytes to a list of HxWx3 uint8 frames (full-frame
+    subset: every fcTL must cover the canvas at offset 0,0 with blend
+    'source'; anything else raises ValueError)."""
+    data = bytes(data)
+    if not data.startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIGNATURE)
+    header = None
+    num_frames = None
+    frames = []          # list of (fctl, [data chunks])
+    current = None
+    while pos + 8 <= len(data):
+        length, tag = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("PNG chunk truncated")
+        if tag == b"IHDR":
+            header = struct.unpack(">IIBBBBB", chunk)
+        elif tag == b"acTL":
+            num_frames = struct.unpack(">II", chunk)[0]
+        elif tag == b"fcTL":
+            fctl = struct.unpack(">IIIIIHHBB", chunk)
+            current = (fctl, [])
+            frames.append(current)
+        elif tag == b"IDAT":
+            if current is None:
+                raise ValueError("APNG IDAT without preceding fcTL")
+            current[1].append(chunk)
+        elif tag == b"fdAT":
+            if current is None or length < 4:
+                raise ValueError("APNG fdAT without preceding fcTL")
+            current[1].append(chunk[4:])
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if header is None or num_frames is None or not frames:
+        raise ValueError("not an APNG (missing IHDR/acTL/fcTL)")
+    w, h, depth, ctype, comp, filt, interlace = header
+    if depth != 8 or ctype != 2 or interlace != 0:
+        raise ValueError("unsupported APNG (depth/color-type/interlace)")
+    out = []
+    for (seq, fw, fh, x0, y0, _dn, _dd, _dispose, blend), chunks in frames:
+        if (fw, fh, x0, y0) != (w, h, 0, 0) or blend != 0:
+            raise ValueError(
+                "unsupported APNG frame (partial region or over-blend)")
+        try:
+            raw = zlib.decompress(b"".join(chunks))
+        except zlib.error as exc:
+            raise ValueError(f"APNG frame inflate failed: {exc}") from exc
+        out.append(_unfilter(raw, h, w, 3))
+    return out

@@ -24,10 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fuzzy_search_spark.pipeline.codecs import (
+    PNG_SIGNATURE,
+    decode_apng,
     decode_png,
     decode_wav,
+    encode_apng,
     encode_png,
     encode_wav,
+    is_apng,
     to_rgb,
 )
 
@@ -147,13 +151,19 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
 
 def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
-    """STUB frame sampler for video payloads: container demux + frame
-    decode genuinely need external codecs, so this stays a deterministic
-    fake (per-frame sha256 thumbnails) behind ``FAKE_DECODE``."""
+    """Frame sampler for animation/video payloads.
+
+    APNG decodes FOR REAL (codecs.decode_apng — the one video-like
+    format the stdlib can handle); the first ``n_frames`` frames are
+    returned.  Real video containers (mp4/webm) need external codecs and
+    keep the deterministic fake (per-frame sha256 thumbnails) behind
+    ``FAKE_DECODE``."""
+    data = bytes(payload)
+    if data.startswith(PNG_SIGNATURE) and is_apng(data):
+        return decode_apng(data)[:n_frames]
     if not FAKE_DECODE:
         raise NotImplementedError("video codec not available in this env")
-    return [_fake_thumbnail(bytes(payload) + bytes([i]))
-            for i in range(n_frames)]
+    return [_fake_thumbnail(data + bytes([i])) for i in range(n_frames)]
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -237,9 +247,13 @@ def video_frame_features(df: DataFrame, url_col: str = "url",
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                for fi, arr in enumerate(_sample_frames(payload, n_frames)):
+                try:
+                    frames = _sample_frames(payload, n_frames)
+                except ValueError:
+                    continue  # undecodable animation payload: skip the row
+                for fi, arr in enumerate(frames):
                     urls.append(url)
-                    nf.append(n_frames)
+                    nf.append(len(frames))
                     idx.append(fi)
                     hs.append(arr.shape[0])
                     ws.append(arr.shape[1])
@@ -341,6 +355,32 @@ def synth_png_payload(df: DataFrame, id_col: str = "doc_id",
                                     dtype=np.uint8).reshape(16, 16, 3)
                 urls.append(str(doc_id))
                 payloads.append(encode_png(arr))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_apng_payload(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_frames: int = 3) -> DataFrame:
+    """(url, payload): a VALID full-frame APNG per row — frame ``i``'s
+    16x16 RGB pixel stream is sha256(text + '|' + i) repeated.  Same
+    oracle-computable construction as :func:`synth_png_payload`, per
+    frame."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                frames = []
+                for i in range(n_frames):
+                    digest = hashlib.sha256(
+                        f"{text or ''}|{i}".encode("utf-8")).digest()
+                    frames.append(np.frombuffer(
+                        (digest * 24)[:768], np.uint8).reshape(16, 16, 3))
+                urls.append(str(doc_id))
+                payloads.append(encode_apng(frames))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

@@ -241,3 +241,80 @@ def test_synth_payload_generators_roundtrip(spark):
     raw = np.frombuffer((digest * 64)[:2048], "<i2")
     assert rate == 8000 and got.shape == (1024, 1)
     assert np.array_equal((got[:, 0] * 32768).astype(np.int16), raw)
+
+
+# --------------------------------------------------------------------------
+# APNG
+# --------------------------------------------------------------------------
+
+def test_apng_roundtrip_and_detection():
+    from fuzzy_search_spark.pipeline.codecs import (
+        decode_apng,
+        encode_apng,
+        is_apng,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (8, 5, 3), dtype=np.uint8)
+              for _ in range(4)]
+    data = encode_apng(frames)
+    assert is_apng(data)
+    back = decode_apng(data)
+    assert len(back) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    # a still PNG is NOT an APNG, and decode_apng rejects it
+    from fuzzy_search_spark.pipeline.codecs import encode_png
+
+    still = encode_png(frames[0])
+    assert not is_apng(still)
+    with pytest.raises(ValueError):
+        decode_apng(still)
+    with pytest.raises(ValueError):
+        decode_apng(b"garbage")
+
+
+def test_video_frame_features_real_apng_decode(spark):
+    """video_frame_features over a VALID APNG yields one row per real
+    frame with true pixel statistics; non-animation payloads keep the
+    documented fake path; corrupt APNGs are skipped."""
+    from fuzzy_search_spark.pipeline.codecs import encode_apng
+    from fuzzy_search_spark.pipeline.multimodal import video_frame_features
+
+    rng = np.random.default_rng(13)
+    frames = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+              for _ in range(5)]
+    good = encode_apng(frames)
+    bad = bytearray(good)
+    bad[60] ^= 0xFF  # corrupt the first frame's compressed data
+    rows = [("anim", bytearray(good)), ("corrupt", bytes(bad)),
+            ("other", b"\x00\x00\x00\x18ftypmp42" + b"x" * 32)]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = video_frame_features(df, n_frames=3).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    # corrupt APNG skipped entirely; mp4 takes the fake (3 frames)
+    assert set(by_url) == {"anim", "other"}
+    anim = sorted(by_url["anim"], key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in anim] == [0, 1, 2]
+    assert all(r["n_frames"] == 3 for r in anim)
+    for fi, r in enumerate(anim):
+        assert (r["height"], r["width"]) == (6, 6)
+        assert r["mean_rgb"] == frames[fi].mean(axis=(0, 1)).round(6).tolist()
+    assert len(by_url["other"]) == 3
+
+
+def test_synth_apng_payload_roundtrip(spark):
+    from fuzzy_search_spark.pipeline.codecs import decode_apng
+    from fuzzy_search_spark.pipeline.multimodal import synth_apng_payload
+
+    docs = spark.createDataFrame([(20, "animatie tekst")],
+                                 "doc_id long, text string")
+    payloads = {r["url"]: bytes(r["payload"])
+                for r in synth_apng_payload(docs, n_frames=3).collect()}
+    frames = decode_apng(payloads["20"])
+    assert len(frames) == 3
+    for i, frame in enumerate(frames):
+        digest = hashlib.sha256(f"animatie tekst|{i}".encode()).digest()
+        want = np.frombuffer((digest * 24)[:768], np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(frame, want)
