@@ -217,3 +217,23 @@ class TestVocabulary:
         tokens = tokenize("The quick brown fox", ignorecase=True)
         vocab = Vocabulary(tokens)
         assert vocab.term2id("the") == 0 and vocab.term2id("fox") == 3
+
+
+def test_train_bpe_agrees_with_reference_surface_machinery():
+    """The engine's histogram trainer (train_bpe) and the reference-surface
+    incremental machinery (make_byte_pair_encoding) implement the same
+    merge rule — max frequency, shortest combined length, lexicographic —
+    so their learned vocabularies must be identical at every k."""
+    from collections import Counter
+
+    from fuzzy_search_spark.analysis.subtoken import (
+        make_byte_pair_encoding,
+        train_bpe,
+    )
+
+    tokens = (["low"] * 5 + ["lowest"] * 2 + ["newer"] * 6 + ["wider"] * 3
+              + ["new"] * 2 + ["lower"] * 4)
+    for k in (1, 3, 5, 8, 12, 20):
+        vocab_hist, _merges = train_bpe(Counter(tokens), k)
+        vocab_inc = make_byte_pair_encoding(tokens, k)
+        assert vocab_hist == vocab_inc, k
