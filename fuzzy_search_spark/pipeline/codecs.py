@@ -59,8 +59,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
     """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
-    3 Average, 4 Paeth).  Up/None are vectorized; Sub/Average/Paeth run
-    the spec's sequential recurrence along the row."""
+    3 Average, 4 Paeth).  None/Up are vectorized across the row; Sub is
+    a per-channel-lane prefix sum, so uint8 cumsum (which wraps mod 256)
+    computes the whole scanline at once; Average/Paeth genuinely recur on
+    the left-neighbor AND the previous row and run the spec's sequential
+    recurrence."""
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
@@ -76,13 +79,14 @@ def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
             out[y] = line
         elif ftype == 2:
             out[y] = line + prev
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:
+            out[y] = (line.reshape(w, channels)
+                      .cumsum(axis=0, dtype=np.uint8).reshape(-1))
+        elif ftype in (3, 4):
             cur = out[y]
             for x in range(stride):
                 a = int(cur[x - channels]) if x >= channels else 0
-                if ftype == 1:
-                    cur[x] = (int(line[x]) + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
                 else:
                     c = int(prev[x - channels]) if x >= channels else 0

@@ -318,3 +318,35 @@ def test_synth_apng_payload_roundtrip(spark):
         digest = hashlib.sha256(f"animatie tekst|{i}".encode()).digest()
         want = np.frombuffer((digest * 24)[:768], np.uint8).reshape(16, 16, 3)
         assert np.array_equal(frame, want)
+
+
+def test_unfilter_sub_cumsum_matches_sequential():
+    """The vectorized Sub unfilter (uint8 cumsum per channel lane) must
+    equal the spec's sequential recurrence on random filtered data."""
+    from fuzzy_search_spark.pipeline.codecs import _unfilter
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        h = int(rng.integers(1, 6))
+        w = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        stride = w * ch
+        raw = bytearray()
+        ref = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            ftype = int(rng.choice([0, 1, 2, 1, 1]))  # Sub-heavy mix
+            line = rng.integers(0, 256, stride).astype(np.uint8)
+            raw.append(ftype)
+            raw.extend(line.tobytes())
+            prev = ref[y - 1] if y else np.zeros(stride, np.uint8)
+            cur = ref[y]
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                if ftype == 0:
+                    cur[x] = line[x]
+                elif ftype == 2:
+                    cur[x] = (int(line[x]) + int(prev[x])) & 0xFF
+                else:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+        got = _unfilter(bytes(raw), h, w, ch)
+        assert np.array_equal(got.reshape(h, stride), ref), (trial, h, w, ch)
