@@ -330,19 +330,25 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:
     """(node, label) connected components over an undirected pair set by
-    iterative min-label propagation: every node starts labeled with
-    itself, and each round takes the min over its neighbors' labels.
+    min-label propagation with POINTER DOUBLING: every node starts
+    labeled with itself; each round takes the min over its neighbors'
+    labels and then replaces its label with its label's label
+    (``label[x] <- label[label[x]]``).  The doubling step is valid
+    because labels are always node ids of the same component, so
+    chasing one pointer can only move toward the component minimum —
+    and it compresses chains geometrically, turning the classic
+    O(component diameter) round count into O(log diameter) (the
+    watch-item for path-shaped components at 10^12-doc scale; dense
+    template clusters still converge in 2-3 rounds either way).
 
-    Scale shape: one join + one hash aggregation per round, converging in
-    O(component diameter) rounds — near-duplicate clusters are dense
-    template groups whose diameter is tiny (a star is 2).  Each round is
-    localCheckpoint()ed so the lineage does not grow with iterations (the
-    classic iterative-Spark failure mode), and the convergence check is a
-    single count of changed labels.  ``max_iterations`` bounds pathological
-    chains; the loop exits early on fixpoint.  If the budget runs out
-    first (diameter > max_iterations) a warning is emitted — unconverged
-    labels would otherwise silently split one true component into several
-    groups downstream."""
+    Scale shape: two co-keyed joins + one hash aggregation per round,
+    each round localCheckpoint()ed so the lineage does not grow with
+    iterations (the classic iterative-Spark failure mode); the
+    convergence check is a single count of changed labels.
+    ``max_iterations`` bounds pathological inputs; the loop exits early
+    on fixpoint.  If the budget runs out first a warning is emitted —
+    unconverged labels would otherwise silently split one true
+    component into several groups downstream."""
     edges = pairs_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = edges.unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
@@ -358,12 +364,25 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                                      F.col("label").alias("nbr_label")), "b")
             .groupBy("a").agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr.select(F.col("a").alias("node"), "nbr_min"),
                         "node", "left")
             .select("node",
                     F.least(F.col("label"),
                             F.coalesce(F.col("nbr_min"), F.col("label")))
+                    .alias("label"))
+        )
+        # pointer doubling: label[x] <- min(label[x], label[label[x]]).
+        # Every label IS a node of the same table (labels start as self
+        # and only ever adopt other nodes' labels), so the parent lookup
+        # is a plain co-keyed self-join.
+        new_labels = (
+            stepped.join(
+                stepped.select(F.col("node").alias("label"),
+                               F.col("label").alias("parent_label")),
+                "label")
+            .select("node",
+                    F.least(F.col("label"), F.col("parent_label"))
                     .alias("label"))
             .localCheckpoint(eager=True)
         )

@@ -226,6 +226,25 @@ def test_simhash_families_agree_on_bucketing(spark):
                 < min(d[fam] for p, d in dists.items() if p not in near))
 
 
+def test_connected_components_logarithmic_on_chains(spark):
+    """Pointer doubling makes round count O(log diameter): a 60-node
+    chain (diameter 59, which pure min-propagation could never finish in
+    10 rounds) converges silently within a 10-round budget."""
+    import warnings
+
+    from fuzzy_search_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r["node"]: r["label"]
+               for r in connected_components(pairs,
+                                             max_iterations=10).collect()}
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(got.values()) == {0} and len(got) == 61
+
+
 def test_connected_components_warns_on_budget_exhaustion(spark):
     """A chain wider than the iteration budget must not silently yield
     split components — the loop warns when it exits unconverged."""
