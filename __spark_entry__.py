@@ -220,6 +220,22 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-token spans (substring-level dedup /
+    boilerplate detection — the Lee-et-al-style primitive document-level
+    MinHash misses)."""
+    from fuzzy_search_spark.pipeline.textstats import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=5).orderBy("span_hash")
+
+
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of 5-token spans that repeat across documents."""
+    from fuzzy_search_spark.pipeline.textstats import boilerplate_ratio
+
+    return boilerplate_ratio(_docs(spark, sf_dir), k=5).orderBy("doc_id")
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.dedup import exact_duplicates
 
@@ -713,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
+        "duplicate_spans": q_duplicate_spans,
+        "boilerplate_ratio": q_boilerplate_ratio,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1225,6 +1243,54 @@ def oracle_sql() -> dict[str, str]:
                              for i in range(1, greatest(len(w) - 4, 1) + 1)])
                      AS winnow_min
             FROM n ORDER BY doc_id
+        """,
+        "duplicate_spans": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i:i+4], ' ')
+                             for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                       AS gram
+              FROM words WHERE len(w) >= 5
+            )
+            SELECT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                     AS span_hash,
+                   gram,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occ
+            FROM g WHERE length(gram) > 0
+            GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY span_hash
+        """,
+        "boilerplate_ratio": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       AS span_hash
+              FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                         AS gram
+                FROM words WHERE len(w) >= 5
+              ) WHERE length(gram) > 0
+            ), dup AS (
+              SELECT span_hash FROM g
+              GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN dup.span_hash IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_dup_spans,
+                   round(sum(CASE WHEN dup.span_hash IS NULL THEN 0 ELSE 1 END)
+                         / greatest(count(*), 1), 6) AS dup_ratio
+            FROM g LEFT JOIN dup ON g.span_hash = dup.span_hash
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -106,7 +106,9 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "llr_keywords",
              # round 2: reworked / new operators under timing watch
              "vocabulary", "skipgram_similarity", "spelling_links",
-             "patterns_in_context", "near_dup_groups", "corpus_clean"]
+             "patterns_in_context", "near_dup_groups", "corpus_clean",
+             # round 3: substring-level dedup
+             "duplicate_spans", "boilerplate_ratio"]
     qmap = entry.queries()
     out = {}
     for name in names:

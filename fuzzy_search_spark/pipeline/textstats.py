@@ -97,6 +97,81 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), *cols, guess.alias("lang_guess"))
 
 
+def _span_grams(df: DataFrame, id_col: str, text_col: str,
+                k: int) -> DataFrame:
+    """(doc_id, gram) rows of all k-token word grams, built with the
+    linear zip_with chain from analysis.freq (same lower + ``\\s+`` token
+    stream, so the DuckDB oracle mirrors the existing ngram oracles)."""
+    from fuzzy_search_spark.analysis.freq import _ngram_array
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(_ngram_array(text_col, k, pad=False))
+                  .alias("gram"))
+        .filter(F.length("gram") > 0)
+    )
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated substrings: every k-token span whose text
+    occurs in >= ``min_docs`` distinct documents, with document and
+    occurrence counts — the substring-level dedup primitive (boilerplate
+    headers/footers, licence blocks, templated paragraphs) that
+    document-level MinHash misses when duplicated passages sit inside
+    otherwise-distinct pages.
+
+    Scale shape: one scan -> explode k-grams (linear zip_with build) ->
+    a single hash aggregation keyed by the md5-uniform 60-bit span hash
+    (the gram string rides along in the key for reporting; counts stay
+    HashAggregate).  countDistinct is planner-expanded with map-side
+    partial aggregation, so the shuffle carries (hash, gram, doc) partials
+    only for grams, never raw documents.
+    """
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    grams = _span_grams(df, id_col, text_col, k)
+    return (
+        grams
+        .groupBy(_hash60(F.col("gram")).alias("span_hash"), F.col("gram"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document boilerplate exposure: of the document's k-token spans,
+    how many also appear in >= ``min_docs`` distinct documents (itself
+    included), as a count and ratio.  The standard gate for "mostly
+    templated page" in a training-data cleanup pass.
+
+    Scale shape: the exploded gram relation is keyed by the md5-uniform
+    span hash on both sides, so the duplicated-span set and the per-doc
+    membership probe share one co-partitioned exchange; the final
+    aggregation is a per-doc hash-agg over numeric keys.
+    """
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    grams = _span_grams(df, id_col, text_col, k).select(
+        "doc_id", _hash60(F.col("gram")).alias("span_hash"))
+    dup = (grams.groupBy("span_hash")
+           .agg(F.countDistinct("doc_id").alias("_nd"))
+           .filter(F.col("_nd") >= min_docs)
+           .select("span_hash", F.lit(1).alias("_dup")))
+    return (
+        grams.join(dup, "span_hash", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"))
+        .withColumn("dup_ratio", F.round(
+            F.col("n_dup_spans") / F.greatest(F.col("n_spans"), F.lit(1)), 6))
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-text md5, normalized-text md5 (casefold +

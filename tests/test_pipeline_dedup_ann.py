@@ -366,3 +366,68 @@ def test_corpus_clean_chain(spark):
     assert kept[1] == "en" and kept[70] == "en"
     only_en = corpus_clean(docs, languages=["nl"]).count()
     assert only_en == 0
+
+
+def test_duplicate_spans_crafted(spark):
+    """A 5-token boilerplate footer shared by three docs is reported with
+    the right doc/occurrence counts; unique prose never appears."""
+    from fuzzy_search_spark.pipeline.textstats import duplicate_spans
+
+    footer = "all rights reserved by example corp"
+    rows = [
+        (1, "first document body text here " + footer),
+        (2, "second unrelated words entirely " + footer),
+        (3, footer + " and a trailing remark appended"),
+        (4, "completely unique sentence with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.gram: (r.n_docs, r.n_occ)
+           for r in duplicate_spans(docs, k=6).collect()}
+    assert out[footer] == (3, 3)
+    # every reported span really is cross-document
+    assert all(nd >= 2 for nd, _ in out.values())
+    # doc 4's unique 6-grams are absent
+    assert not any("unique sentence" in g for g in out)
+
+
+def test_duplicate_spans_matches_python(spark):
+    """Differential check of counts against a pure-Python oracle over the
+    same lower + whitespace token stream."""
+    from collections import defaultdict
+
+    from fuzzy_search_spark.pipeline.textstats import duplicate_spans
+
+    texts = {i: t for i, t in DOCS}
+    k = 3
+    occ, docs_per = defaultdict(int), defaultdict(set)
+    for i, t in texts.items():
+        w = t.lower().split()
+        for j in range(len(w) - k + 1):
+            g = " ".join(w[j:j + k])
+            occ[g] += 1
+            docs_per[g].add(i)
+    want = {g: (len(d), occ[g]) for g, d in docs_per.items() if len(d) >= 2}
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.gram: (r.n_docs, r.n_occ)
+           for r in duplicate_spans(df, k=k).collect()}
+    assert got == want
+
+
+def test_boilerplate_ratio_crafted(spark):
+    """Per-doc span totals and duplicated-span counts; a fully-templated
+    doc scores ratio 1.0, a fully-unique doc 0.0."""
+    from fuzzy_search_spark.pipeline.textstats import boilerplate_ratio
+
+    shared = "one two three four five six seven"
+    rows = [
+        (1, shared),                                  # all spans shared
+        (2, shared + " plus some unique tail words"),
+        (3, "nothing here repeats anywhere else truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_ratio(docs, k=5).collect()}
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 3
+    assert out[1].dup_ratio == 1.0
+    assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
+    # doc 2: 12 tokens -> 8 spans, the 3 fully-inside-shared ones repeat
+    assert out[2].n_spans == 8 and out[2].n_dup_spans == 3
