@@ -236,6 +236,71 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_ratio(_docs(spark, sf_dir), k=5).orderBy("doc_id")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-2/3-gram occupancy and
+    duplicated-5/10-gram fraction per document."""
+    from fuzzy_search_spark.pipeline.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-token
+    span with the held-out benchmark slice (doc_id % 97 == 0)."""
+    from fuzzy_search_spark.pipeline.textstats import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, k=5).orderBy("doc_id")
+
+
+def _augmented_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the testdata
+    word-salad contains none, which would make the oracle a 0==0 check);
+    the DuckDB oracle builds the identical string."""
+    d = F.col("doc_id").cast("string")
+    return _docs(spark, sf_dir).withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d, F.lit("@example.com"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" tel +31 20 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 9"),
+    ))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redacted text over deterministically PII-augmented
+    documents (email / IPv4 / intl phone)."""
+    from fuzzy_search_spark.pipeline.pii import pii_scan
+
+    return pii_scan(_augmented_pii_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup groups over deterministically synthesized surface
+    URLs (case, default-port, trailing-slash, fragment and query-string
+    variants of ~40 canonical pages); the oracle builds identical URLs."""
+    from fuzzy_search_spark.pipeline.urls import url_dup_groups
+
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(doc % 4 < 2, F.lit("WWW.Example.COM"))
+        .otherwise(F.lit("www.example.com")),
+        F.when(doc % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/site/"), (doc % 40).cast("string"),
+        F.when(doc % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(doc % 11 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+        F.when(doc % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_dup_groups(pages).orderBy("canonical_url")
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.dedup import exact_duplicates
 
@@ -731,6 +796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "duplicate_spans": q_duplicate_spans,
         "boilerplate_ratio": q_boilerplate_ratio,
+        "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "pii_scan": q_pii_scan,
+        "url_dedup": q_url_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1291,6 +1360,177 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(count(*), 1), 6) AS dup_ratio
             FROM g LEFT JOIN dup ON g.span_hash = dup.span_hash
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "repetition_signals": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n,
+                     CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh,
+                     count(*) AS c
+              FROM (
+                SELECT doc_id, 2 AS n,
+                       unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, greatest(len(w) - 1, 0) + 1)])
+                         AS gram
+                FROM words WHERE len(w) >= 2
+                UNION ALL
+                SELECT doc_id, 3,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, greatest(len(w) - 2, 0) + 1)])
+                FROM words WHERE len(w) >= 3
+                UNION ALL
+                SELECT doc_id, 5,
+                       unnest([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                FROM words WHERE len(w) >= 5
+                UNION ALL
+                SELECT doc_id, 10,
+                       unnest([array_to_string(w[i:i+9], ' ')
+                               for i in range(1, greatest(len(w) - 9, 0) + 1)])
+                FROM words WHERE len(w) >= 10
+              ) WHERE length(gram) > 0
+              GROUP BY doc_id, n, gh
+            ), p AS (
+              SELECT doc_id,
+                     sum(CASE WHEN n = 2 THEN c END) AS g2,
+                     max(CASE WHEN n = 2 THEN c END) AS m2,
+                     sum(CASE WHEN n = 3 THEN c END) AS g3,
+                     max(CASE WHEN n = 3 THEN c END) AS m3,
+                     sum(CASE WHEN n = 5 THEN c END) AS g5,
+                     sum(CASE WHEN n = 5 AND c > 1 THEN c END) AS d5,
+                     sum(CASE WHEN n = 10 THEN c END) AS g10,
+                     sum(CASE WHEN n = 10 AND c > 1 THEN c END) AS d10
+              FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(regexp_split_to_array(lower(d.text), '\s+'))
+                     AS n_tokens,
+                   round(coalesce(m2 / g2, 0), 6) AS top2_frac,
+                   round(coalesce(m3 / g3, 0), 6) AS top3_frac,
+                   round(coalesce(d5 / g5, 0), 6) AS dup5_frac,
+                   round(coalesce(d10 / g10, 0), 6) AS dup10_frac
+            FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+            ORDER BY d.doc_id
+        """,
+        "decontaminate": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       AS span_hash
+              FROM (
+                SELECT doc_id,
+                       unnest([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                         AS gram
+                FROM words WHERE len(w) >= 5
+              ) WHERE length(gram) > 0
+            ), bench AS (
+              SELECT DISTINCT span_hash FROM g WHERE doc_id % 97 = 0
+            ), corpus AS (
+              SELECT DISTINCT doc_id, span_hash FROM g WHERE doc_id % 97 <> 0
+            ), hits AS (
+              SELECT c.doc_id, count(*) AS n_bench_spans
+              FROM corpus c JOIN bench b USING (span_hash)
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_bench_spans, 0) AS n_bench_spans,
+                   coalesce(h.n_bench_spans, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 97 <> 0
+            ORDER BY d.doc_id
+        """,
+        "pii_scan": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                          || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                          || ' tel +31 20 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' 9' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+[0-9][0-9() .-]{6,}[0-9]')) AS n_phones,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                   + len(regexp_extract_all(text,
+                       '\+[0-9][0-9() .-]{6,}[0-9]')) AS n_pii,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')
+                     AS redacted_text
+            FROM aug ORDER BY doc_id
+        """,
+        "url_dedup": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS'
+                           ELSE 'https' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Example.COM'
+                              ELSE 'www.example.com' END)
+                     || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+                     || '/site/' || CAST(doc_id % 40 AS VARCHAR)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0 THEN '?q=1' ELSE '' END)
+                     || (CASE WHEN doc_id % 7 = 0 THEN '#section-2'
+                              ELSE '' END) AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+              FROM pages
+            ), ext AS (
+              SELECT doc_id, u,
+                     lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^#]*)', 1))
+                       AS scheme,
+                     lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^#]*)', 2))
+                       AS host0,
+                     regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^#]*)', 3)
+                       AS rest0
+              FROM parts
+            ), canon AS (
+              SELECT doc_id,
+                     CASE WHEN host = '' THEN lower(u)
+                          ELSE scheme || '://' || host || rest END
+                       AS canonical_url
+              FROM (
+                SELECT doc_id, u, scheme,
+                       CASE WHEN scheme = 'http'
+                              THEN regexp_replace(host0, ':80$', '')
+                            WHEN scheme = 'https'
+                              THEN regexp_replace(host0, ':443$', '')
+                            ELSE host0 END AS host,
+                       CASE WHEN strpos(rest0, '?') = 0
+                              THEN regexp_replace(rest0, '/+$', '')
+                            ELSE rest0 END AS rest
+                FROM ext
+              )
+            )
+            SELECT canonical_url, min(doc_id) AS keep_id,
+                   count(*) AS n_pages
+            FROM canon GROUP BY canonical_url HAVING count(*) >= 2
+            ORDER BY canonical_url
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -107,8 +107,10 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 2: reworked / new operators under timing watch
              "vocabulary", "skipgram_similarity", "spelling_links",
              "patterns_in_context", "near_dup_groups", "corpus_clean",
-             # round 3: substring-level dedup
-             "duplicate_spans", "boilerplate_ratio"]
+             # round 3: substring-level dedup + web-corpus hygiene
+             "duplicate_spans", "boilerplate_ratio",
+             "repetition_signals", "decontaminate", "pii_scan",
+             "url_dedup"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -172,6 +172,102 @@ def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_orders=(2, 3), dup_orders=(5, 10)) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the repetition-filter family):
+    for each ``n`` in ``top_orders`` the fraction of n-gram positions
+    occupied by the single most frequent n-gram (``top{n}_frac``), and for
+    each ``n`` in ``dup_orders`` the fraction of n-gram positions whose
+    gram occurs more than once in the document (``dup{n}_frac``).  High
+    values flag templated/spammy pages that document-level dedup keeps.
+
+    Token stream matches the word-ngram operators (lower + ``\\s+``), so
+    the DuckDB oracle mirrors the existing freq CTEs.  Scale shape: ONE
+    scan (all orders' gram arrays tag their order inline and explode from
+    the same projection), then two hash aggregations — (doc, n, gram-hash)
+    counts with map-side partials, then a per-doc conditional rollup over
+    numeric keys.  Nothing is per-document-global except the per-doc
+    groups themselves; no windows, no driver collection.
+    """
+    from fuzzy_search_spark.analysis.freq import _ngram_array
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    orders = sorted(set(top_orders) | set(dup_orders))
+
+    def _tag(order: int):
+        return lambda g: F.struct(F.lit(order).alias("n"), g.alias("gram"))
+
+    arrays = [F.transform(_ngram_array(text_col, n, pad=False), _tag(n))
+              for n in orders]
+    tagged = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tagged).alias("t"))
+        .select("doc_id", "t.n", "t.gram")
+        .filter(F.length("gram") > 0)
+        .groupBy("doc_id", "n", _hash60(F.col("gram")).alias("gh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("n") == n, F.col("c"))).alias(f"_g{n}")
+          for n in orders],
+        *[F.max(F.when(F.col("n") == n, F.col("c"))).alias(f"_m{n}")
+          for n in top_orders],
+        *[F.sum(F.when((F.col("n") == n) & (F.col("c") > 1), F.col("c")))
+          .alias(f"_d{n}") for n in dup_orders],
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("n_tokens"))
+    out = base.join(per_doc, "doc_id", "left")
+    cols = [F.col("doc_id"), F.col("n_tokens")]
+    for n in top_orders:
+        cols.append(F.round(F.coalesce(
+            F.col(f"_m{n}") / F.col(f"_g{n}"), F.lit(0.0)), 6)
+            .alias(f"top{n}_frac"))
+    for n in dup_orders:
+        cols.append(F.round(F.coalesce(
+            F.col(f"_d{n}") / F.col(f"_g{n}"), F.lit(0.0)), 6)
+            .alias(f"dup{n}_frac"))
+    return out.select(*cols)
+
+
+def decontaminate(df: DataFrame, bench_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 8) -> DataFrame:
+    """Benchmark decontamination scan: flag every training document that
+    shares at least one k-token word gram with a (small) benchmark/eval
+    corpus — the standard pre-training hygiene pass that keeps test-set
+    passages out of the training mix.
+
+    Returns (doc_id, n_bench_spans, contaminated) for EVERY document of
+    ``df``: ``n_bench_spans`` counts the distinct contaminated spans.
+
+    Scale shape: benchmark suites are tiny relative to a 100-TB corpus, so
+    the distinct benchmark span-hash set is broadcast and the probe is a
+    map-side hash join against the exploded corpus grams — the corpus is
+    scanned once and never shuffled on gram keys; the only exchange is the
+    per-doc count rollup (doc-keyed, map-side partials).
+    """
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    bench = (_span_grams(bench_df, id_col, text_col, k)
+             .select(_hash60(F.col("gram")).alias("span_hash"))
+             .distinct())
+    grams = (_span_grams(df, id_col, text_col, k)
+             .select("doc_id", _hash60(F.col("gram")).alias("span_hash"))
+             .distinct())
+    hits = (grams.join(F.broadcast(bench), "span_hash")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bench_spans")))
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bench_spans", F.lit(0)).alias("n_bench_spans"),
+        (F.coalesce("n_bench_spans", F.lit(0)) > 0).alias("contaminated"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-text md5, normalized-text md5 (casefold +

@@ -1,0 +1,192 @@
+"""Unit tests for the round-3 web-corpus hygiene ops: Gopher-style
+repetition signals, benchmark decontamination, PII scan/redaction, and
+URL canonicalization + URL-level dedup.
+
+Each crafted test pins hand-computed expectations; the differential test
+recomputes repetition fractions with an independent pure-Python oracle
+(mirroring the driver's DuckDB oracle structure).
+"""
+
+from collections import Counter
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    import os
+
+    from fuzzy_search_spark.spark.session import get_spark
+
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    spark = get_spark(master="local[4]", app_name="textops-tests")
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_crafted(spark):
+    from fuzzy_search_spark.pipeline.textstats import repetition_signals
+
+    rows = [
+        (1, "a a a a a a a a a a"),      # maximal repetition
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "x y x y x y"),
+        (4, "hi"),                        # too short for any order
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert len(out) == 4
+
+    # doc 1: every 2/3-gram identical, every 5-gram duplicated, the single
+    # 10-gram occurs once (dup10 = 0)
+    assert out[1].n_tokens == 10
+    assert out[1].top2_frac == 1.0 and out[1].top3_frac == 1.0
+    assert out[1].dup5_frac == 1.0 and out[1].dup10_frac == 0.0
+
+    # doc 2: all grams distinct
+    assert out[2].top2_frac == pytest.approx(1 / 9, abs=1e-6)
+    assert out[2].dup5_frac == 0.0 and out[2].dup10_frac == 0.0
+
+    # doc 3: 2-grams = [x y, y x, x y, y x, x y] -> top 3/5; 3-grams
+    # [x y x, y x y, x y x, y x y] -> top 2/4; both 5-grams unique
+    assert out[3].top2_frac == pytest.approx(0.6, abs=1e-6)
+    assert out[3].top3_frac == pytest.approx(0.5, abs=1e-6)
+    assert out[3].dup5_frac == 0.0
+
+    # doc 4: one token -> no gram positions at any order -> all zeros
+    assert out[4].top2_frac == 0.0 and out[4].top3_frac == 0.0
+    assert out[4].dup5_frac == 0.0 and out[4].dup10_frac == 0.0
+
+
+def test_repetition_signals_matches_python(spark):
+    """Differential check against a pure-Python recomputation over the
+    same lower + whitespace token stream."""
+    from fuzzy_search_spark.pipeline.textstats import repetition_signals
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat again"),
+        (2, "spark spark spark streaming window window agg"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+
+    def frac(words, n, kind):
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        if not grams:
+            return 0.0
+        c = Counter(grams)
+        if kind == "top":
+            return max(c.values()) / len(grams)
+        return sum(v for v in c.values() if v > 1) / len(grams)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    for doc_id, text in rows:
+        w = text.lower().split()
+        r = out[doc_id]
+        assert r.n_tokens == len(w)
+        assert r.top2_frac == pytest.approx(frac(w, 2, "top"), abs=1e-6)
+        assert r.top3_frac == pytest.approx(frac(w, 3, "top"), abs=1e-6)
+        assert r.dup5_frac == pytest.approx(frac(w, 5, "dup"), abs=1e-6)
+        assert r.dup10_frac == pytest.approx(frac(w, 10, "dup"), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_crafted(spark):
+    from fuzzy_search_spark.pipeline.textstats import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "x alpha beta gamma delta y"),        # both bench 3-grams
+        (2, "alpha beta gamma"),                   # one
+        (3, "nothing shared here at all"),         # clean
+        (4, "alpha beta gamma alpha beta gamma"),  # same span twice: 1 distinct
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontaminate(corpus, bench, k=3).collect()}
+    assert len(out) == 4
+    assert out[1].n_bench_spans == 2 and out[1].contaminated
+    assert out[2].n_bench_spans == 1 and out[2].contaminated
+    assert out[3].n_bench_spans == 0 and not out[3].contaminated
+    assert out[4].n_bench_spans == 1 and out[4].contaminated
+
+
+# ---------------------------------------------------------------------------
+# pii_scan
+# ---------------------------------------------------------------------------
+
+def test_pii_scan_crafted(spark):
+    from fuzzy_search_spark.pipeline.pii import pii_scan
+
+    rows = [
+        (1, "write to john.doe+spam@mail.example.org today"),
+        (2, "server at 192.168.0.1 rebooted"),
+        (3, "call +31 (0)20 555-0100 now"),
+        (4, "no pii here"),
+        (5, "a@b.co and 8.8.8.8 and +12345678901"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scan(docs).collect()}
+
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (1, 0, 0)
+    assert out[1].redacted_text == "write to <EMAIL> today"
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 1, 0)
+    assert out[2].redacted_text == "server at <IP> rebooted"
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 1)
+    assert out[3].redacted_text == "call <PHONE> now"
+    assert out[4].n_pii == 0 and out[4].redacted_text == "no pii here"
+    assert out[5].n_pii == 3
+    assert out[5].redacted_text == "<EMAIL> and <IP> and <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.pipeline.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/", "https://www.example.com/Path"),
+        ("http://example.com:80/a?b=1#frag", "http://example.com/a?b=1"),
+        ("http://example.com:8080/a/", "http://example.com:8080/a"),
+        ("https://example.com", "https://example.com"),
+        ("example.com/Foo#x", "example.com/foo"),     # schemeless fallback
+        ("http://example.com/a/?q=1", "http://example.com/a/?q=1"),
+        ("https://example.com/x//", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dup_groups_merges_variants(spark):
+    from fuzzy_search_spark.pipeline.urls import url_dup_groups
+
+    rows = [
+        (1, "https://example.com/page"),
+        (2, "HTTPS://EXAMPLE.com:443/page/"),
+        (3, "https://example.com/page#top"),
+        (4, "https://example.com/other"),
+        (5, "https://example.com/page?v=2"),   # query differs: no merge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: r for r in url_dup_groups(df).collect()}
+    assert list(out) == ["https://example.com/page"]
+    grp = out["https://example.com/page"]
+    assert grp.keep_id == 1 and grp.n_pages == 3
