@@ -301,6 +301,30 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dup_groups(pages).orderBy("canonical_url")
 
 
+#: corpus-mixing fixtures: weights chosen so the normalized shares are
+#: exact binary floats (4/8, 2/8, 1/8, 1/8) — rate arithmetic is then
+#: bit-identical between Spark and the DuckDB oracle.
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+MIX_BUDGET = 2000
+SAMPLE_RATES = {"src0": 0.75, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: per-source totals -> sampling rates."""
+    from fuzzy_search_spark.pipeline.mixing import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), MIX_WEIGHTS,
+                        MIX_BUDGET).orderBy("source")
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (retry/repartition-stable) stratified hash sample."""
+    from fuzzy_search_spark.pipeline.mixing import corpus_sample
+
+    return corpus_sample(_docs(spark, sf_dir),
+                         SAMPLE_RATES).orderBy("doc_id")
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.dedup import exact_duplicates
 
@@ -800,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "url_dedup": q_url_dedup,
+        "mixture_plan": q_mixture_plan,
+        "corpus_sample": q_corpus_sample,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1478,6 +1504,39 @@ def oracle_sql() -> dict[str, str]:
                        '\+[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')
                      AS redacted_text
             FROM aug ORDER BY doc_id
+        """,
+        "mixture_plan": r"""
+            WITH w(source, w) AS (
+              SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.25),
+                                    ('src2', 0.125), ('src3', 0.125))
+            ), s AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len(regexp_split_to_array(text, '\s+')))
+                       AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT s.source, n_docs, n_tokens,
+                   round(w.w * 2000.0, 6) AS target_tokens,
+                   round(least(1.0, round(w.w * 2000.0, 6) / n_tokens), 6)
+                     AS rate
+            FROM s JOIN w ON s.source = w.source
+            ORDER BY s.source
+        """,
+        "corpus_sample": r"""
+            WITH rates(source, rate) AS (
+              SELECT * FROM (VALUES ('src0', 0.75), ('src1', 0.5),
+                                    ('src2', 0.25), ('src3', 0.1))
+            ), b AS (
+              SELECT doc_id, source,
+                     CAST('0x' || substr(md5('mix-v1:'
+                           || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT b.doc_id, b.source, b.bucket
+            FROM b JOIN rates USING (source)
+            WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
+            ORDER BY b.doc_id
         """,
         "url_dedup": r"""
             WITH pages AS (

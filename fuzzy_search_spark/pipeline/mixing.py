@@ -1,0 +1,108 @@
+"""Corpus mixing: deterministic stratified sampling + token-budget
+mixture planning.
+
+Training-data pipelines don't take "all of the web" — they take a
+weighted mixture (so much news, so much code, so much web) under a total
+token budget.  Two operators cover that tier:
+
+- :func:`mixture_plan` — per-stratum doc/token totals joined against
+  target mixture weights, yielding the sampling rate that hits the token
+  budget (capped at 1.0 when a stratum is smaller than its allocation).
+- :func:`corpus_sample` — applies per-stratum rates with a DETERMINISTIC
+  md5 keep-predicate: ``hash60(salt:id) % 1e6 < floor(rate * 1e6)``.
+
+Determinism is the point.  ``DataFrame.sample()`` draws per-partition
+pseudo-random numbers, so its output changes under task retry,
+repartitioning, or AQE re-planning — on a 1000-executor job that makes
+"which documents did we train on" irreproducible.  The hash predicate is
+a pure function of (salt, id): stable across retries, cluster sizes and
+engines (the DuckDB oracle evaluates the same predicate), and
+monotone — raising a stratum's rate only ever ADDS documents, so
+incremental budget bumps reuse everything already sampled.
+
+Scale shape: corpus_sample is a broadcast join (the rate table is tiny)
+plus a per-row filter — no shuffle of the corpus; mixture_plan is one
+hash aggregation over the strata keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for the keep predicate; rates quantize to 1/1e6.
+BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, salt: str):
+    """Uniform bucket in [0, 1e6): 60-bit md5 of ``salt:id`` mod 1e6.
+    DuckDB mirror: ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) %
+    1000000``."""
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+            % BUCKETS)
+
+
+def stratum_stats(df: DataFrame, strata=("source",),
+                  text_col: str = "text") -> DataFrame:
+    """Per-stratum document and whitespace-token totals."""
+    tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    return df.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"))
+
+
+def mixture_plan(df: DataFrame, weights: dict, token_budget: int,
+                 stratum_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Sampling plan hitting ``token_budget`` at the given mixture.
+
+    ``weights`` maps stratum value -> relative weight (normalized here);
+    strata absent from ``weights`` get no allocation and are excluded.
+    Returns (stratum, n_docs, n_tokens, target_tokens, rate) where
+    ``rate = min(1, target_tokens / n_tokens)`` — feed it straight into
+    :func:`corpus_sample`.
+    """
+    total_w = float(sum(weights.values()))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in sorted(weights.items())],
+        f"{stratum_col} string, w double")
+    stats = stratum_stats(df, (stratum_col,), text_col)
+    target = F.round(F.col("w") * F.lit(float(token_budget)), 6)
+    return (
+        stats.join(F.broadcast(wdf), stratum_col)
+        .select(
+            stratum_col, "n_docs", "n_tokens",
+            target.alias("target_tokens"),
+            F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6)
+            .alias("rate"))
+    )
+
+
+def corpus_sample(df: DataFrame, rates, stratum_col: str = "source",
+                  id_col: str = "doc_id",
+                  salt: str = "mix-v1") -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its md5 bucket
+    falls below ``floor(rate * 1e6)`` for its stratum.
+
+    ``rates`` is either a dict (stratum -> rate in [0, 1]) or a DataFrame
+    with (stratum_col, rate) columns — e.g. :func:`mixture_plan` output.
+    Strata without a rate are dropped (rate 0).  Output: the sampled
+    (id, stratum, bucket) rows; join back on ``id_col`` for full rows.
+    """
+    if isinstance(rates, dict):
+        spark = df.sparkSession
+        rates = spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(rates.items())],
+            f"{stratum_col} string, rate double")
+    else:
+        rates = rates.select(stratum_col, "rate")
+    cutoff = F.floor(F.col("rate") * F.lit(BUCKETS)).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(stratum_col),
+                  _bucket(id_col, salt).alias("bucket"))
+        .join(F.broadcast(rates), stratum_col)
+        .filter(F.col("bucket") < cutoff)
+        .select(id_col, stratum_col, "bucket")
+    )

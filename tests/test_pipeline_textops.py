@@ -190,3 +190,68 @@ def test_url_dup_groups_merges_variants(spark):
     assert list(out) == ["https://example.com/page"]
     grp = out["https://example.com/page"]
     assert grp.keep_id == 1 and grp.n_pages == 3
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing: mixture_plan + corpus_sample
+# ---------------------------------------------------------------------------
+
+def test_mixture_plan_crafted(spark):
+    from fuzzy_search_spark.pipeline.mixing import mixture_plan
+
+    rows = [
+        (1, "a", "one two three four"),          # 4 tokens
+        (2, "a", "five six"),                     # stratum a: 6 tokens
+        (3, "b", "x " * 99 + "x"),                # stratum b: 100 tokens
+        (4, "c", "only excluded stratum here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in
+           mixture_plan(df, {"a": 3.0, "b": 1.0}, 40).collect()}
+    assert set(out) == {"a", "b"}                 # 'c' has no weight
+    # a: weight 0.75 -> 30 target tokens over 6 available -> capped at 1.0
+    assert out["a"].n_docs == 2 and out["a"].n_tokens == 6
+    assert out["a"].target_tokens == 30.0 and out["a"].rate == 1.0
+    # b: weight 0.25 -> 10 target over 100 -> rate 0.1
+    assert out["b"].n_tokens == 100 and out["b"].rate == pytest.approx(0.1)
+
+
+def test_corpus_sample_deterministic_and_monotone(spark):
+    import hashlib
+
+    from fuzzy_search_spark.pipeline.mixing import corpus_sample
+
+    rows = [(i, "s", "text") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def py_bucket(i):
+        return int(hashlib.md5(f"mix-v1:{i}".encode())
+                   .hexdigest()[:15], 16) % 1_000_000
+
+    got = {r.doc_id: r.bucket
+           for r in corpus_sample(df, {"s": 0.3}).collect()}
+    want = {i: py_bucket(i) for i in range(200)
+            if py_bucket(i) < 300_000}
+    assert got == want                            # matches python oracle
+
+    # deterministic under repartitioning (unlike DataFrame.sample)
+    again = {r.doc_id for r in
+             corpus_sample(df.repartition(7), {"s": 0.3}).collect()}
+    assert again == set(want)
+
+    # monotone: raising the rate only ever ADDS documents
+    bigger = {r.doc_id for r in corpus_sample(df, {"s": 0.6}).collect()}
+    assert set(want) <= bigger
+
+
+def test_corpus_sample_accepts_plan_df(spark):
+    from fuzzy_search_spark.pipeline.mixing import corpus_sample, mixture_plan
+
+    rows = [(i, "a" if i % 2 else "b", "w1 w2 w3 w4 w5") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = mixture_plan(df, {"a": 1.0, "b": 1.0}, 100)
+    sampled = corpus_sample(df, plan)
+    # rates = 50 target / 250 stratum tokens = 0.2 -> roughly 20 docs
+    n = sampled.count()
+    assert 0 < n < 100
+    assert set(sampled.columns) == {"doc_id", "source", "bucket"}
