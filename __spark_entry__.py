@@ -301,6 +301,37 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dup_groups(pages).orderBy("canonical_url")
 
 
+#: cap on word types pulled to the driver for BPE training (bpe_merges,
+#: bpe_token_counts) — a web corpus's billion-type tail cannot OOM the
+#: driver; the rare tail contributes negligibly to early merge ranks.
+BPE_MAX_TYPES = 250_000
+
+
+def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-token counts vs whitespace words, over
+    documents with a deterministic punctuation/contraction/price tail
+    (the word-salad alone splits 1:1); the oracle appends the same."""
+    from fuzzy_search_spark.pipeline.textstats import regex_token_stats
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.concat(
+        F.col("text"), F.lit(" don't overfit; cost: $"),
+        (F.col("doc_id") % 100).cast("string"), F.lit(".99!")))
+    return regex_token_stats(docs).orderBy("doc_id")
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encode with the corpus-trained merge list (same
+    bounded-histogram training as bpe_merges): per-doc subword counts and
+    fertility.  Non-SQL-expressible (greedy rank-order merging) ->
+    rows-only driver check; differential unit test vs pure Python."""
+    from fuzzy_search_spark.analysis.subtoken import (bpe_from_corpus,
+                                                      bpe_token_counts)
+
+    docs = _docs(spark, sf_dir)
+    _, merges = bpe_from_corpus(docs, k=30, max_types=BPE_MAX_TYPES)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
 #: corpus-mixing fixtures: weights chosen so the normalized shares are
 #: exact binary floats (4/8, 2/8, 1/8, 1/8) — rate arithmetic is then
 #: bit-identical between Spark and the DuckDB oracle.
@@ -624,7 +655,6 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fuzzy_search_spark.analysis.subtoken import train_bpe
 
-    BPE_MAX_TYPES = 250_000
     hist = (
         _docs(spark, sf_dir)
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+"))
@@ -826,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
+        "subword_token_stats": q_subword_token_stats,
+        "bpe_token_counts": q_bpe_token_counts,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1503,6 +1535,24 @@ def oracle_sql() -> dict[str, str]:
                        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                        '\+[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g')
                      AS redacted_text
+            FROM aug ORDER BY doc_id
+        """,
+        "subword_token_stats": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' don''t overfit; cost: $'
+                          || CAST(doc_id % 100 AS VARCHAR) || '.99!' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                     AS n_subword_tokens,
+                   round(len(regexp_extract_all(text,
+                       '''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                         / greatest(len(regexp_split_to_array(text, '\s+')),
+                                    1), 6) AS subword_ratio
             FROM aug ORDER BY doc_id
         """,
         "mixture_plan": r"""

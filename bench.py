@@ -110,7 +110,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 3: substring-level dedup + web-corpus hygiene
              "duplicate_spans", "boilerplate_ratio",
              "repetition_signals", "decontaminate", "pii_scan",
-             "url_dedup", "corpus_sample"]
+             "url_dedup", "corpus_sample", "subword_token_stats",
+             "bpe_token_counts"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -172,6 +172,32 @@ def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: GPT-2-style pre-tokenizer, restricted to the Java/RE2-shared ASCII
+#: subset (contractions first — alternation is leftmost-first in both
+#: engines — then space-prefixed letter runs, digit runs, punctuation
+#: runs).  The byte-level original uses \p{L}/\p{N}; ASCII classes keep
+#: the DuckDB oracle byte-identical.
+SUBWORD_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def regex_token_stats(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """BPE-ish regex token counting: whitespace word count, GPT-2-style
+    pre-token count, and their ratio (pre-tokens per word — >1 when
+    punctuation/contractions/digits split off).  Pure column algebra, no
+    shuffle; fuses into the scan."""
+    txt = F.col(text_col)
+    words = F.split(txt, r"\s+")
+    pre = F.regexp_extract_all(txt, F.lit(SUBWORD_TOKEN_RE), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_ws_tokens"),
+        F.size(pre).alias("n_subword_tokens"),
+        F.round(F.size(pre) / F.greatest(F.size(words), F.lit(1)), 6)
+        .alias("subword_ratio"),
+    )
+
+
 def repetition_signals(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        top_orders=(2, 3), dup_orders=(5, 10)) -> DataFrame:

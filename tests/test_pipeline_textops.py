@@ -255,3 +255,51 @@ def test_corpus_sample_accepts_plan_df(spark):
     n = sampled.count()
     assert 0 < n < 100
     assert set(sampled.columns) == {"doc_id", "source", "bucket"}
+
+
+# ---------------------------------------------------------------------------
+# token counting: regex pre-tokenizer + distributed BPE encode
+# ---------------------------------------------------------------------------
+
+def test_regex_token_stats_crafted(spark):
+    from fuzzy_search_spark.pipeline.textstats import regex_token_stats
+
+    rows = [
+        (1, "don't stop: $5.99 now!"),
+        (2, "plain words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in regex_token_stats(docs).collect()}
+    # don | 't | " stop" | : | " $" | 5 | . | 99 | " now" | !
+    assert out[1].n_ws_tokens == 4 and out[1].n_subword_tokens == 10
+    assert out[1].subword_ratio == pytest.approx(2.5)
+    # pure letter words split 1:1
+    assert out[2].n_ws_tokens == 4 and out[2].n_subword_tokens == 4
+    assert out[2].subword_ratio == 1.0
+
+
+def test_bpe_token_counts_matches_python(spark):
+    """Distributed encode counts == pure-Python encode_bpe over the same
+    trained merges (and the hoisted-rank fast path is exercised)."""
+    from fuzzy_search_spark.analysis.subtoken import (bpe_token_counts,
+                                                      encode_bpe, train_bpe)
+
+    texts = {
+        1: "low lower lowest low low slow slower",
+        2: "new newer newest news new",
+        3: "low new low new wider wide",
+    }
+    hist = Counter(w for t in texts.values() for w in t.lower().split())
+    _, merges = train_bpe(dict(hist), 12)
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bpe_token_counts(df.repartition(3), merges).collect()}
+    for doc_id, text in texts.items():
+        words = text.lower().split()
+        want = sum(len(encode_bpe(w, merges)) for w in words)
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_bpe_tokens == want
+        assert got[doc_id].fertility == pytest.approx(
+            round(want / len(words), 6))
