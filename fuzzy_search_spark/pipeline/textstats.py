@@ -149,24 +149,42 @@ def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
     included), as a count and ratio.  The standard gate for "mostly
     templated page" in a training-data cleanup pass.
 
-    Scale shape: the exploded gram relation is keyed by the md5-uniform
-    span hash on both sides, so the duplicated-span set and the per-doc
-    membership probe share one co-partitioned exchange; the final
-    aggregation is a per-doc hash-agg over numeric keys.
+    Scale shape: the exploded gram stream is first rolled up to distinct
+    (doc, span_hash) pairs with occurrence weights — ONE exchange whose
+    subtree both branches share at runtime (AQE ReusedExchange), so the
+    corpus is scanned and exploded exactly once and every later shuffle
+    carries pair rows, never raw occurrences.  The duplicated-span set is
+    then a pair-count hash-agg (count == countDistinct by construction),
+    the membership probe a span-keyed join, and the finish a per-doc
+    hash-agg over numeric keys.
     """
     from fuzzy_search_spark.pipeline.dedup import _hash60
 
-    grams = _span_grams(df, id_col, text_col, k).select(
-        "doc_id", _hash60(F.col("gram")).alias("span_hash"))
-    dup = (grams.groupBy("span_hash")
-           .agg(F.countDistinct("doc_id").alias("_nd"))
+    # The two always-true predicates below are exchange-alignment pins,
+    # not semantics: the join would push isnotnull(span_hash) into only
+    # the build branch, and column pruning would drop the count buffer
+    # from only the dup branch — either divergence makes the two copies
+    # of the pair-aggregation subtree non-identical, so AQE cannot reuse
+    # the exchange and the corpus explode runs twice.  With them pinned
+    # on both branches the subtrees canonicalize equal and the explode
+    # materializes once (guarded by test_dup_span_ops_hash_aggregate_only).
+    pairs = (
+        _span_grams(df, id_col, text_col, k)
+        .groupBy("doc_id", _hash60(F.col("gram")).alias("span_hash"))
+        .agg(F.count(F.lit(1)).alias("_n_occ"))
+        .filter(F.col("span_hash").isNotNull())
+    )
+    dup = (pairs.filter(F.col("_n_occ") >= 1)
+           .groupBy("span_hash")
+           .agg(F.count(F.lit(1)).alias("_nd"))
            .filter(F.col("_nd") >= min_docs)
            .select("span_hash", F.lit(1).alias("_dup")))
     return (
-        grams.join(dup, "span_hash", "left")
+        pairs.join(dup, "span_hash", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_spans"),
-             F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"))
+        .agg(F.sum("_n_occ").alias("n_spans"),
+             F.sum(F.when(F.col("_dup").isNotNull(), F.col("_n_occ"))
+                   .otherwise(F.lit(0))).alias("n_dup_spans"))
         .withColumn("dup_ratio", F.round(
             F.col("n_dup_spans") / F.greatest(F.col("n_spans"), F.lit(1)), 6))
     )

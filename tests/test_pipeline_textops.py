@@ -303,3 +303,128 @@ def test_bpe_token_counts_matches_python(spark):
         assert got[doc_id].n_bpe_tokens == want
         assert got[doc_id].fertility == pytest.approx(
             round(want / len(words), 6))
+
+
+# ---------------------------------------------------------------------------
+# plan-shape guards (scale regression pins for the round-3 ops)
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=40):
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 7} beta epsilon zeta eta "
+             f"theta iota kappa w{i % 3}") for i in range(n)],
+        "doc_id long, text string")
+
+
+def test_projection_ops_have_no_exchange(spark):
+    """pii_scan / regex_token_stats / canonicalize_urls are pure column
+    algebra: the executed plan must contain NO Exchange (they fuse into
+    the scan — the property that makes them free at 100 TB)."""
+    from fuzzy_search_spark.pipeline.pii import pii_scan
+    from fuzzy_search_spark.pipeline.textstats import regex_token_stats
+    from fuzzy_search_spark.pipeline.urls import canonicalize_urls
+
+    docs = _docs(spark)
+    urls = spark.createDataFrame(
+        [(1, "HTTP://Example.com:80/a/"), (2, "https://x.org/b#frag")],
+        "doc_id long, url string")
+    for df in (pii_scan(docs), regex_token_stats(docs),
+               canonicalize_urls(urls)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+
+def test_bpe_token_counts_is_narrow(spark):
+    """The distributed BPE encode is a narrow mapInPandas over the scan's
+    partitioning: no Exchange anywhere in the plan."""
+    from fuzzy_search_spark.analysis.subtoken import bpe_token_counts
+
+    out = bpe_token_counts(_docs(spark), [("b", "e"), ("be", "ta")])
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_dup_span_ops_hash_aggregate_only(spark):
+    """duplicate_spans / url_dup_groups / boilerplate_ratio keep every
+    aggregation in HashAggregate (numeric agg buffers; no sort fallback),
+    and boilerplate_ratio's two branches over the exploded-gram relation
+    share one exchange at runtime (AQE reuse) instead of recomputing the
+    explode."""
+    from fuzzy_search_spark.pipeline.textstats import (boilerplate_ratio,
+                                                       duplicate_spans)
+    from fuzzy_search_spark.pipeline.urls import url_dup_groups
+
+    docs = _docs(spark)
+    urls = spark.createDataFrame(
+        [(i, f"http://site{i % 5}.com/page#{i}") for i in range(20)],
+        "doc_id long, url string")
+    for df in (duplicate_spans(docs, k=3), url_dup_groups(urls)):
+        assert "SortAggregate" not in _plan(df)
+
+    br = boilerplate_ratio(docs, k=3)
+    assert "SortAggregate" not in _plan(br)
+    br.collect()
+    final = _plan(br)
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 1, "gram subtree not stage-reused"
+
+
+def test_repetition_signals_no_window_no_python(spark):
+    """repetition_signals is two hash aggregations — never a per-doc
+    window, never a Python pass; all gram orders explode from ONE
+    projection (a single scan feeds the counts subtree)."""
+    from fuzzy_search_spark.pipeline.textstats import repetition_signals
+
+    out = repetition_signals(_docs(spark))
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "Python" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    """The benchmark span set joins broadcast-side: the 100-TB corpus is
+    never shuffled on gram keys (probe is a map-side BroadcastHashJoin)."""
+    from fuzzy_search_spark.pipeline.textstats import decontaminate
+
+    docs = _docs(spark)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta w1 beta epsilon zeta")],
+        "doc_id long, text string")
+    out = decontaminate(docs, bench, k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # the only span_hash-keyed exchange is the TINY benchmark-side
+    # distinct; the corpus gram stream is never shuffled on span_hash
+    # (its distinct/rollup keys always include doc_id)
+    assert plan.count("hashpartitioning(span_hash") <= 1, plan
+
+
+def test_mixing_is_broadcast_and_lazy(spark):
+    """corpus_sample shuffles NOTHING (broadcast rate table + row filter)
+    and neither mixing op fires a Spark job at plan-construction time."""
+    from fuzzy_search_spark.pipeline.mixing import corpus_sample, mixture_plan
+
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "source", (F.col("doc_id") % 2 == 0).cast("string"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    plan_df = mixture_plan(docs, {"true": 2.0, "false": 1.0},
+                           token_budget=100)
+    sample = corpus_sample(docs, {"true": 0.5, "false": 0.25})
+    after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    assert after == before, "plan construction ran eager Spark jobs"
+
+    splan = _plan(sample)
+    assert "BroadcastHashJoin" in splan
+    assert "Exchange hashpartitioning" not in splan, splan
+    assert plan_df.count() == 2 and sample.count() > 0
+
