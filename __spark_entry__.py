@@ -301,6 +301,93 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dup_groups(pages).orderBy("canonical_url")
 
 
+def _page_url(doc: F.Column) -> F.Column:
+    """Deterministic source-page URL for the link-graph queries."""
+    return F.concat(F.lit("https://host"), (doc % 10).cast("string"),
+                    F.lit(".com/p/"), doc.cast("string"))
+
+
+def _page_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents wrapped in deterministic HTML with 1-3 outlinks (mixed
+    case, default port, trailing slash, fragment, relative and empty-
+    anchor variants); the oracle concatenates byte-identical markup."""
+    doc = F.col("doc_id")
+    href1 = F.concat(
+        F.when(doc % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://Host"), (doc % 7).cast("string"),
+        F.when(doc % 4 < 2, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(doc % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/page/"), (doc % 50).cast("string"),
+        F.when(doc % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    link2 = F.when(doc % 3 == 0, F.concat(
+        F.lit('<a id="n" href="/rel/'), (doc % 4).cast("string"),
+        F.lit('">nav</a>'))).otherwise(F.lit(""))
+    link3 = F.when(doc % 4 == 0, F.lit(
+        '<a href="https://cdn.example.net/asset#frag"><img/></a>')) \
+        .otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"),
+        F.lit('</p><a class="x" href="'), href1, F.lit('">anchor '),
+        (doc % 13).cast("string"), F.lit("</a>"), link2, link3,
+        F.lit("</body></html>"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", _page_url(doc).alias("url"), html.alias("html"))
+
+
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: per-page (href, anchor, canonical target) from
+    raw HTML — one JVM regex pass, zipped positionally, no Python."""
+    from fuzzy_search_spark.pipeline.weblinks import extract_links
+
+    return (extract_links(_page_html(spark, sf_dir))
+            .orderBy("doc_id", "link_pos"))
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host) edges with link and
+    distinct-source-page counts; relative hrefs resolve to the source
+    host."""
+    from fuzzy_search_spark.pipeline.weblinks import domain_link_graph
+
+    return (domain_link_graph(_page_html(spark, sf_dir))
+            .orderBy("src_host", "dst_host"))
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 3-iteration PageRank over the host link graph (fixed
+    iteration count + per-iteration 10-dp rounding => cross-engine
+    bit-reproducible; the oracle chains one CTE per iteration)."""
+    from fuzzy_search_spark.pipeline.weblinks import (domain_link_graph,
+                                                     pagerank)
+
+    g = domain_link_graph(_page_html(spark, sf_dir))
+    pr = pagerank(g, iterations=3)
+    return (pr.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
+
+
+def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
+    style): remove paragraphs shared by >= 2 documents and reassemble.
+    Pages are deterministic 2-3 paragraph builds over the corpus text
+    with injected cookie-banner / footer boilerplate."""
+    from fuzzy_search_spark.pipeline.textstats import strip_duplicate_paragraphs
+
+    doc, txt = F.col("doc_id"), F.col("text")
+    sep = F.lit("\n\n")
+    p1 = F.substring(txt, 1, 60)
+    p2 = F.when(doc % 4 == 0,
+                F.lit("cookie consent banner please accept our policy")) \
+        .otherwise(F.substring(txt, 61, 40))
+    p3 = F.when(doc % 2 == 0,
+                F.lit("copyright footer all rights reserved")) \
+        .otherwise(F.lit(""))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(p1, sep, p2, sep, p3).alias("text"))
+    return strip_duplicate_paragraphs(pages).orderBy("doc_id")
+
+
 #: cap on word types pulled to the driver for BPE training (bpe_merges,
 #: bpe_token_counts) — a web corpus's billion-type tail cannot OOM the
 #: driver; the rare tail contributes negligibly to early merge ranks.
@@ -854,6 +941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "url_dedup": q_url_dedup,
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
+        "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
         "subword_token_stats": q_subword_token_stats,
@@ -939,6 +1030,111 @@ def oracle_sql() -> dict[str, str]:
 
     def _h60(expr: str) -> str:
         return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+    # deterministic page HTML mirror of _page_html (link-extraction queries)
+    page_html_cte = """
+        pages AS (
+          SELECT doc_id,
+                 'https://host' || CAST(doc_id % 10 AS VARCHAR)
+                   || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><body><p>' || text || '</p><a class="x" href="'
+                 || (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END)
+                 || '://Host' || CAST(doc_id % 7 AS VARCHAR)
+                 || (CASE WHEN doc_id % 4 < 2 THEN '.COM' ELSE '.com' END)
+                 || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                 || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                 || '">anchor ' || CAST(doc_id % 13 AS VARCHAR) || '</a>'
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '<a id="n" href="/rel/'
+                               || CAST(doc_id % 4 AS VARCHAR) || '">nav</a>'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0
+                          THEN '<a href="https://cdn.example.net/asset#frag">'
+                               || '<img/></a>'
+                          ELSE '' END)
+                 || '</body></html>' AS html
+          FROM documents
+        )"""
+
+    link_re = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)'
+    url_re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^#]*)"
+    # canonical_url mirror over a relation carrying (.., href): fragment
+    # strip -> scheme/host/rest split -> default-port + trailing-slash
+    # normalization -> schemeless fallback
+    canon_href = f"""
+        parts AS (
+          SELECT *, regexp_replace(href, '#.*$', '') AS cu FROM links
+        ), ext AS (
+          SELECT *,
+                 lower(regexp_extract(cu, '{url_re}', 1)) AS scheme,
+                 lower(regexp_extract(cu, '{url_re}', 2)) AS host0,
+                 regexp_extract(cu, '{url_re}', 3) AS rest0
+          FROM parts
+        ), canon AS (
+          SELECT *, CASE WHEN host = '' THEN lower(cu)
+                         ELSE scheme || '://' || host || rest END
+                      AS canonical_href
+          FROM (
+            SELECT *,
+                   CASE WHEN scheme = 'http'
+                          THEN regexp_replace(host0, ':80$', '')
+                        WHEN scheme = 'https'
+                          THEN regexp_replace(host0, ':443$', '')
+                        ELSE host0 END AS host,
+                   CASE WHEN strpos(rest0, '?') = 0
+                          THEN regexp_replace(rest0, '/+$', '')
+                        ELSE rest0 END AS rest
+            FROM ext
+          )
+        )"""
+
+    # pages -> exploded hrefs -> canonical -> aggregated host graph `g`
+    # (the SQL mirror of domain_link_graph over _page_html)
+    graph_cte = f"""{page_html_cte},
+        links AS (
+          SELECT doc_id,
+                 'host' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                   AS src_host,
+                 unnest(regexp_extract_all(html, '{link_re}', 1)) AS href
+          FROM pages
+        ), {canon_href},
+        edges AS (
+          SELECT doc_id, src_host,
+                 CASE WHEN host = '' THEN src_host ELSE host END
+                   AS dst_host
+          FROM canon
+        ), g AS (
+          SELECT src_host, dst_host, count(*) AS n_links,
+                 count(DISTINCT doc_id) AS n_src_pages
+          FROM edges GROUP BY src_host, dst_host
+        )"""
+
+    # fixed-iteration weighted PageRank chain: one CTE per iteration,
+    # per-iteration round(_, 10) exactly as the Spark loop does.  Double
+    # literals are spelled to full precision so DuckDB's decimal literal
+    # arithmetic cannot diverge from Python/Spark float semantics.
+    pr_iters, pr_prev = "", "r0"
+    for _i in (1, 2, 3):
+        pr_iters += f""", r{_i} AS (
+          SELECT n.node,
+                 round(CAST(0.15000000000000002 AS DOUBLE)
+                         / (SELECT n FROM nn)
+                       + CAST(0.85 AS DOUBLE) * (
+                           coalesce(s.s, CAST(0 AS DOUBLE))
+                           + (SELECT coalesce(sum(rank), 0)
+                              FROM {pr_prev}
+                              WHERE node NOT IN
+                                (SELECT src_host FROM outw))
+                             / (SELECT n FROM nn)), 10) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT gg.dst_host AS node,
+                   sum(r.rank * gg.n_links / o.w_out) AS s
+            FROM g gg JOIN {pr_prev} r ON gg.src_host = r.node
+                      JOIN outw o ON gg.src_host = o.src_host
+            GROUP BY 1) s ON n.node = s.node
+        )"""
+        pr_prev = f"r{_i}"
 
     # the engine's MinHash family: affine transforms of one 32-bit
     # md5-derived base hash (pipeline/dedup.py MINHASH_P/_minhash_ab) —
@@ -1640,6 +1836,96 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages
             FROM canon GROUP BY canonical_url HAVING count(*) >= 2
             ORDER BY canonical_url
+        """,
+        "extract_links": f"""
+            WITH {page_html_cte},
+            lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(html, '{link_re}', 1) AS hrefs,
+                     regexp_extract_all(html, '{link_re}', 2) AS anchors
+              FROM pages
+            ), links AS (
+              SELECT doc_id, u.link_pos, u.href, u.anchor FROM (
+                SELECT doc_id,
+                       unnest([{{'link_pos': i - 1, 'href': hrefs[i],
+                                 'anchor': anchors[i]}}
+                               for i in range(1, len(hrefs) + 1)]) AS u
+                FROM lx)
+            ), {canon_href}
+            SELECT doc_id, link_pos, href, anchor, canonical_href
+            FROM canon ORDER BY doc_id, link_pos
+        """,
+        "link_graph": f"""
+            WITH {graph_cte}
+            SELECT src_host, dst_host, n_links, n_src_pages
+            FROM g ORDER BY src_host, dst_host
+        """,
+        "pagerank_hosts": f"""
+            WITH {graph_cte},
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src_host AS node FROM g
+                UNION ALL SELECT dst_host FROM g)
+            ), nn AS (SELECT count(*) AS n FROM nodes),
+            outw AS (
+              SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS w_out
+              FROM g GROUP BY src_host
+            ), r0 AS (
+              SELECT node,
+                     round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 10)
+                       AS rank
+              FROM nodes
+            ){pr_iters}
+            SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+        """,
+        "strip_dup_paragraphs": f"""
+            WITH pg AS (
+              SELECT doc_id,
+                     substring(text, 1, 60)
+                     || chr(10) || chr(10)
+                     || (CASE WHEN doc_id % 4 = 0
+                              THEN 'cookie consent banner please accept'
+                                   || ' our policy'
+                              ELSE substring(text, 61, 40) END)
+                     || chr(10) || chr(10)
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN 'copyright footer all rights reserved'
+                              ELSE '' END) AS text
+              FROM documents
+            ), pl AS (
+              SELECT doc_id,
+                     string_split(text, chr(10) || chr(10)) AS l
+              FROM pg
+            ), ph AS (
+              SELECT doc_id, u.pos, u.para,
+                     {_h60('u.para')} AS phash
+              FROM (
+                SELECT doc_id,
+                       unnest([{{'pos': i - 1, 'para': l[i]}}
+                               for i in range(1, len(l) + 1)]) AS u
+                FROM pl)
+              WHERE length(u.para) > 0
+            ), dup AS (
+              SELECT phash FROM ph
+              GROUP BY phash HAVING count(DISTINCT doc_id) >= 2
+            ), agg AS (
+              SELECT ph.doc_id,
+                     count(*) AS n_paras,
+                     CAST(count(*) FILTER (WHERE dup.phash IS NULL)
+                          AS BIGINT) AS n_kept,
+                     coalesce(string_agg(ph.para, chr(10) || chr(10)
+                                         ORDER BY ph.pos)
+                              FILTER (WHERE dup.phash IS NULL), '')
+                       AS clean_text
+              FROM ph LEFT JOIN dup ON ph.phash = dup.phash
+              GROUP BY ph.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_paras, 0) AS n_paras,
+                   coalesce(a.n_kept, 0) AS n_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "exact_dup_groups": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -111,7 +111,10 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "duplicate_spans", "boilerplate_ratio",
              "repetition_signals", "decontaminate", "pii_scan",
              "url_dedup", "corpus_sample", "subword_token_stats",
-             "bpe_token_counts"]
+             "bpe_token_counts",
+             # round 3b: link graph + paragraph-level dedup + pagerank
+             "extract_links", "link_graph", "strip_dup_paragraphs",
+             "pagerank_hosts"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -329,3 +329,72 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.md5(norm).alias("md5_normalized"),
         F.array_min(shingle_hashes).alias("winnow_min"),
     )
+
+
+def strip_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", sep: str = "\n\n",
+                               min_docs: int = 2) -> DataFrame:
+    """Cross-document paragraph dedup as a TRANSFORMATION: remove every
+    paragraph whose exact text occurs in >= ``min_docs`` distinct
+    documents and reassemble the remainder in order — the
+    RefinedWeb/C4-style line- or paragraph-level cleanup that strips
+    navigation chrome, cookie banners and licence blocks while keeping
+    the unique prose around them.  ``sep`` is the paragraph delimiter
+    (use ``"\\n"`` for line-level dedup).
+
+    Returns (doc_id, n_paras, n_kept, clean_text) for EVERY input row;
+    documents whose paragraphs are all removed keep an empty
+    ``clean_text``.
+
+    Scale shape: one scan -> posexplode paragraphs -> md5 span hash ->
+    an explicit ``repartition(phash)`` barrier whose exchange BOTH
+    consumers (the duplicated-paragraph aggregation and the keep join)
+    reuse at runtime, so the corpus explodes exactly once; the rebuild is
+    a per-doc hash-agg (collect_list is bounded by single-document size).
+    The `_mpos`/`_mlen` rider aggregates and the always-true filter arms
+    consuming them are exchange-alignment pins, not semantics: without
+    them Catalyst prunes pos/para below the shared exchange in only one
+    branch and the subtrees stop canonicalizing equal (same trick as
+    :func:`boilerplate_ratio`, guarded by the plan-shape test).
+    """
+    import re as _re
+
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    paras = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1))
+                  .alias("pos", "para"))
+        .filter(F.length("para") > 0)
+        .withColumn("phash", _hash60(F.col("para")))
+        # isNotNull pins (incl. doc_id, which the totality left-join at
+        # the end would otherwise push into just one branch) — see the
+        # exchange-alignment note above
+        .filter(F.col("phash").isNotNull() & F.col("doc_id").isNotNull())
+        .repartition("phash")
+    )
+    dup = (paras.groupBy("phash")
+           .agg(F.countDistinct("doc_id").alias("_nd"),
+                F.min("pos").alias("_mpos"),
+                F.min(F.length("para")).alias("_mlen"))
+           .filter((F.col("_nd") >= min_docs)
+                   & (F.col("_mpos") >= 0) & (F.col("_mlen") >= 1))
+           .select("phash", F.lit(1).alias("_dup")))
+    keep_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "para"))
+    rebuilt = (
+        paras.join(dup, "phash", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_paras"),
+             F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+             .alias("n_kept"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(keep_struct)),
+                             lambda s: s["para"]),
+                 sep).alias("clean_text"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"))
