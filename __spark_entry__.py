@@ -492,6 +492,15 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_clean(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup group: argmax of
+    round(alpha_ratio - punct_ratio, 6) via a lexicographic struct max
+    (ties -> longer text -> smaller id); no window over group members."""
+    from fuzzy_search_spark.pipeline.clean import best_representatives
+
+    return best_representatives(_docs(spark, sf_dir)).orderBy("group_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
     from fuzzy_search_spark.pipeline.dedup import simhash64_portable
@@ -955,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": q_near_duplicates,
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
+        "best_representatives": q_best_representatives,
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1285,6 +1295,43 @@ def oracle_sql() -> dict[str, str]:
             vote_cols=", ".join(f"{votes[l]} AS votes_{l}"
                                 for l in _STOPWORD_SQL),
             lang_case=lang_case))
+
+    # quality-aware representative selection shares the CC CTEs: join the
+    # quality projection onto the group table and take the per-group
+    # argmax of (score, n_chars, -doc_id)
+    best_reps_sql = near_dup_groups_sql.replace(
+        """
+        SELECT doc_id, group_id,
+               count(*) OVER (PARTITION BY group_id) AS group_size
+        FROM cc ORDER BY group_id, doc_id
+    """,
+        """
+        , q AS (
+          SELECT doc_id,
+                 round(round(alpha / n, 6)
+                       - round((n_chars - alpha - digit - space) / n, 6), 6)
+                   AS score,
+                 n_chars
+          FROM (
+            SELECT doc_id, length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+                   length(regexp_replace(text, '[^ \t\n]', '', 'g'))
+                     AS space,
+                   greatest(length(text), 1) AS n
+            FROM documents)
+        ), ranked AS (
+          SELECT cc.group_id, cc.doc_id, q.score, q.n_chars,
+                 row_number() OVER (PARTITION BY cc.group_id
+                                    ORDER BY q.score DESC, q.n_chars DESC,
+                                             cc.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cc.group_id) AS n_members
+          FROM cc JOIN q ON cc.doc_id = q.doc_id
+        )
+        SELECT group_id, doc_id AS keep_id, n_members, score AS best_score
+        FROM ranked WHERE rn = 1 ORDER BY group_id
+    """)
 
     # ann_lsh_top10 IS oracle-expressible despite being "approximate": the
     # hyperplanes are fixed seeded constants, so the bucket disjunction is
@@ -1938,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates": near_dups_verified,
         "near_dup_groups": near_dup_groups_sql,
         "corpus_clean": corpus_clean_sql,
+        "best_representatives": best_reps_sql,
         "simhash": simhash_sql,
         "ngram_jaccard_pairs": ngram_jaccard,
         "embedding_near_dup": """

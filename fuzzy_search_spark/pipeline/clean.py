@@ -63,3 +63,47 @@ def corpus_clean(df: DataFrame, id_col: str = "doc_id",
     if languages:
         out = out.filter(F.col("lang_guess").isin(*list(languages)))
     return out.select(id_col, "lang_guess", "n_chars")
+
+
+def best_representatives(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         near_dup_threshold: float = 0.5) -> DataFrame:
+    """Quality-aware canonical selection for near-dup groups: instead of
+    the smallest id, keep the member with the best quality signal —
+    ``score = round(alpha_ratio - punct_ratio, 6)`` (textstats features),
+    ties broken by longer text, then smaller id.  The practical upgrade
+    over min-id retention: OCR/boilerplate-laden variants of a page lose
+    to their cleanest copy, which measurably improves what survives
+    dedup in a training mix.
+
+    Returns one row per near-dup group:
+    ``(group_id, keep_id, n_members, best_score)``.
+
+    Scale shape: the group table joins the (row-local) quality
+    projection doc-keyed, then ONE hash aggregation per group computes
+    the argmax via a lexicographic struct max — (score, n_chars, -id)
+    in a constant-size buffer.  No window over group members (template
+    clusters can be huge), no second pass, no driver collection.
+    """
+    from fuzzy_search_spark.pipeline.dedup import near_dup_groups
+    from fuzzy_search_spark.pipeline.textstats import quality_scores
+
+    groups = near_dup_groups(df, id_col=id_col, text_col=text_col,
+                             threshold=near_dup_threshold)
+    quality = quality_scores(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col),
+        F.round(F.col("alpha_ratio") - F.col("punct_ratio"), 6)
+        .alias("_score"),
+        F.col("n_chars").alias("_nc"))
+    scored = groups.join(quality, id_col)
+    return (
+        scored.groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.max(F.struct(F.col("_score").alias("s"),
+                            F.col("_nc").alias("nc"),
+                            (-F.col(id_col)).alias("nid"))).alias("_b"))
+        .select("group_id",
+                (-F.col("_b.nid")).cast("long").alias("keep_id"),
+                "n_members",
+                F.col("_b.s").alias("best_score"))
+    )

@@ -431,3 +431,34 @@ def test_boilerplate_ratio_crafted(spark):
     assert out[3].n_dup_spans == 0 and out[3].dup_ratio == 0.0
     # doc 2: 12 tokens -> 8 spans, the 3 fully-inside-shared ones repeat
     assert out[2].n_spans == 8 and out[2].n_dup_spans == 3
+
+
+def test_best_representatives_prefers_quality(spark):
+    """Quality-aware canonical selection: the cleanest near-dup group
+    member wins over the smallest id; ties fall back to longer text then
+    smaller id; the argmax is a struct max, not a window."""
+    from fuzzy_search_spark.pipeline.clean import best_representatives
+
+    clean = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet green field all day long while "
+             "birds sing softly in the tall old trees near the river")
+    docs = spark.createDataFrame([
+        # near-dup pair: doc 1 carries a punctuation tail, doc 2 is
+        # clean -> doc 2 must be kept despite the larger id
+        (1, clean + " !! ?? ;; ## $$"),
+        (2, clean + " neat"),
+        (10, "totally unrelated text about spark plans and shuffles "
+             "with enough words to stand alone as its own document"),
+    ], "doc_id long, text string")
+    out = best_representatives(docs, near_dup_threshold=0.3).collect()
+    by_group = {r.group_id: r for r in out}
+    assert 1 in by_group  # group labeled by min member id
+    rep = by_group[1]
+    assert rep.keep_id == 2 and rep.n_members == 2
+    assert rep.best_score > 0.75
+
+    plan = (best_representatives(docs, near_dup_threshold=0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the argmax aggregation itself must not window over group members;
+    # the only Window allowed is near_dup_groups' group_size count
+    assert plan.count("Window") <= 1
