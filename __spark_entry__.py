@@ -501,6 +501,16 @@ def q_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_representatives(_docs(spark, sf_dir)).orderBy("group_id")
 
 
+def q_corpus_clean_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning chain with quality-aware near-dup retention: group
+    survivors are the best_representatives argmax instead of min id."""
+    from fuzzy_search_spark.pipeline.clean import corpus_clean
+
+    return (corpus_clean(_docs(spark, sf_dir),
+                         representative="best_quality")
+            .orderBy("doc_id"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable md5-based SimHash — bit-identical to the DuckDB oracle."""
     from fuzzy_search_spark.pipeline.dedup import simhash64_portable
@@ -965,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "best_representatives": q_best_representatives,
+        "corpus_clean_best": q_corpus_clean_best,
         "simhash": q_simhash,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1295,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
             vote_cols=", ".join(f"{votes[l]} AS votes_{l}"
                                 for l in _STOPWORD_SQL),
             lang_case=lang_case))
+
+    corpus_clean_best_sql = corpus_clean_sql.replace('\n        , nd_dropped AS (\n          SELECT doc_id FROM cc WHERE doc_id <> group_id\n        ), exact_keep AS (',
+        "\n        , q2 AS (\n          SELECT doc_id,\n                 round(round(alpha / n, 6)\n                       - round((n_chars - alpha - digit - space) / n, 6), 6)\n                   AS score,\n                 n_chars\n          FROM (\n            SELECT doc_id, length(text) AS n_chars,\n                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))\n                     AS alpha,\n                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,\n                   length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))\n                     AS space,\n                   greatest(length(text), 1) AS n\n            FROM documents)\n        ), ranked AS (\n          SELECT cc.group_id, cc.doc_id,\n                 row_number() OVER (PARTITION BY cc.group_id\n                                    ORDER BY q2.score DESC,\n                                             q2.n_chars DESC,\n                                             cc.doc_id ASC) AS rn\n          FROM cc JOIN q2 ON cc.doc_id = q2.doc_id\n        ), nd_dropped AS (\n          SELECT doc_id FROM ranked WHERE rn > 1\n        ), exact_keep AS (", 1)
 
     # quality-aware representative selection shares the CC CTEs: join the
     # quality projection onto the group table and take the per-group
@@ -1986,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": near_dup_groups_sql,
         "corpus_clean": corpus_clean_sql,
         "best_representatives": best_reps_sql,
+        "corpus_clean_best": corpus_clean_best_sql,
         "simhash": simhash_sql,
         "ngram_jaccard_pairs": ngram_jaccard,
         "embedding_near_dup": """

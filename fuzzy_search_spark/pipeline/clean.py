@@ -22,32 +22,49 @@ from fuzzy_search_spark.pipeline.textstats import language_exprs, quality_exprs
 def corpus_clean(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
                  languages: Optional[Sequence[str]] = None,
-                 near_dup_threshold: float = 0.5) -> DataFrame:
+                 near_dup_threshold: float = 0.5,
+                 representative: str = "min_id") -> DataFrame:
     """Kept documents after the full cleaning chain:
     ``(doc_id, lang_guess, n_chars)``.
 
-    Stages (each keeps the smallest id as the canonical representative,
-    so the stages compose consistently):
+    Stages:
 
-    1. exact dedup — one hash aggregation on md5(text);
+    1. exact dedup — one hash aggregation on md5(text) (smallest id
+       kept; exact dups are byte-identical, so quality cannot differ);
     2. near-dup dedup — MinHash-LSH candidates, exact-Jaccard verify,
        connected components; every non-representative group member drops
        (a left-anti join against the dropped set, so the non-duplicate
-       majority streams through untouched);
+       majority streams through untouched).  ``representative`` picks
+       the survivor: ``"min_id"`` (default, deterministic and cheapest)
+       or ``"best_quality"`` (the :func:`best_representatives` argmax —
+       the cleanest member wins, one extra doc-keyed join + per-group
+       struct-max aggregation over group members only);
     3. quality gate — length / alpha-ratio / punct-ratio thresholds
        (textstats.quality_scores ``keep``);
     4. optional language filter on the stopword-vote guess.
     """
+    if representative not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown representative mode: {representative}")
     hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
     keep_exact = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col)) \
         .select(id_col)
     base = df.join(keep_exact, id_col, "left_semi")
-    nd_dropped = (
-        near_dup_groups(df, id_col=id_col, text_col=text_col,
-                        threshold=near_dup_threshold)
-        .filter(F.col("group_id") != F.col(id_col))
-        .select(id_col)
-    )
+    groups = near_dup_groups(df, id_col=id_col, text_col=text_col,
+                             threshold=near_dup_threshold)
+    if representative == "best_quality":
+        reps = best_representatives(df, id_col=id_col, text_col=text_col,
+                                    groups=groups)
+        nd_dropped = (
+            groups.join(reps.select("group_id", "keep_id"), "group_id")
+            .filter(F.col(id_col) != F.col("keep_id"))
+            .select(id_col)
+        )
+    else:
+        nd_dropped = (
+            groups
+            .filter(F.col("group_id") != F.col(id_col))
+            .select(id_col)
+        )
     base = base.join(nd_dropped, id_col, "left_anti")
     # quality + language are both row-local projections of text: fold them
     # into ONE pass over `base` (whose lineage carries the whole LSH +
@@ -67,7 +84,8 @@ def corpus_clean(df: DataFrame, id_col: str = "doc_id",
 
 def best_representatives(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text",
-                         near_dup_threshold: float = 0.5) -> DataFrame:
+                         near_dup_threshold: float = 0.5,
+                         groups: Optional[DataFrame] = None) -> DataFrame:
     """Quality-aware canonical selection for near-dup groups: instead of
     the smallest id, keep the member with the best quality signal —
     ``score = round(alpha_ratio - punct_ratio, 6)`` (textstats features),
@@ -77,7 +95,9 @@ def best_representatives(df: DataFrame, id_col: str = "doc_id",
     dedup in a training mix.
 
     Returns one row per near-dup group:
-    ``(group_id, keep_id, n_members, best_score)``.
+    ``(group_id, keep_id, n_members, best_score)``.  Pass a precomputed
+    ``groups`` table (near_dup_groups output) to share the dedup subtree
+    with a surrounding pipeline instead of recomputing it.
 
     Scale shape: the group table joins the (row-local) quality
     projection doc-keyed, then ONE hash aggregation per group computes
@@ -88,8 +108,9 @@ def best_representatives(df: DataFrame, id_col: str = "doc_id",
     from fuzzy_search_spark.pipeline.dedup import near_dup_groups
     from fuzzy_search_spark.pipeline.textstats import quality_scores
 
-    groups = near_dup_groups(df, id_col=id_col, text_col=text_col,
-                             threshold=near_dup_threshold)
+    if groups is None:
+        groups = near_dup_groups(df, id_col=id_col, text_col=text_col,
+                                 threshold=near_dup_threshold)
     quality = quality_scores(df, id_col=id_col, text_col=text_col).select(
         F.col(id_col),
         F.round(F.col("alpha_ratio") - F.col("punct_ratio"), 6)

@@ -462,3 +462,32 @@ def test_best_representatives_prefers_quality(spark):
     # the argmax aggregation itself must not window over group members;
     # the only Window allowed is near_dup_groups' group_size count
     assert plan.count("Window") <= 1
+
+
+def test_corpus_clean_best_quality_mode(spark):
+    """representative='best_quality' keeps the cleanest near-dup group
+    member through the full chain (min_id mode keeps the smallest id);
+    unknown modes raise."""
+    from fuzzy_search_spark.pipeline.clean import corpus_clean
+
+    clean = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet green field all day long while "
+             "birds sing softly in the tall old trees near the river")
+    docs = spark.createDataFrame([
+        (1, clean + " !! ?? ;; ## $$"),
+        (2, clean + " neat"),
+        (10, "a separate long document about query planning with many "
+             "plain words and hardly any punctuation to speak of here"),
+    ], "doc_id long, text string")
+
+    kept_min = {r.doc_id for r in
+                corpus_clean(docs, near_dup_threshold=0.3).collect()}
+    kept_best = {r.doc_id for r in
+                 corpus_clean(docs, near_dup_threshold=0.3,
+                              representative="best_quality").collect()}
+    assert 1 in kept_min and 2 not in kept_min
+    assert 2 in kept_best and 1 not in kept_best
+    assert 10 in kept_min and 10 in kept_best
+
+    with pytest.raises(ValueError):
+        corpus_clean(docs, representative="nope")
