@@ -367,6 +367,16 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("node"))
 
 
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per canonical link target: mention totals
+    and the most frequent anchor (argmax via struct min over
+    (-count, anchor) — no window over a hub URL's anchor set)."""
+    from fuzzy_search_spark.pipeline.weblinks import anchor_text_index
+
+    return (anchor_text_index(_page_html(spark, sf_dir))
+            .orderBy("canonical_href"))
+
+
 def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
     style): remove paragraphs shared by >= 2 documents and reassemble.
@@ -963,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
+        "anchor_text_index": q_anchor_text_index,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -1938,6 +1949,38 @@ def oracle_sql() -> dict[str, str]:
               FROM nodes
             ){pr_iters}
             SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+        """,
+        "anchor_text_index": f"""
+            WITH {page_html_cte},
+            lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(html, '{link_re}', 1) AS hrefs,
+                     regexp_extract_all(html, '{link_re}', 2) AS anchors
+              FROM pages
+            ), links AS (
+              SELECT doc_id, u.href, u.anchor FROM (
+                SELECT doc_id,
+                       unnest([{{'href': hrefs[i], 'anchor': anchors[i]}}
+                               for i in range(1, len(hrefs) + 1)]) AS u
+                FROM lx)
+            ), {canon_href},
+            counts AS (
+              SELECT canonical_href, anchor, count(*) AS c
+              FROM canon WHERE length(anchor) > 0
+              GROUP BY canonical_href, anchor
+            ), ranked AS (
+              SELECT canonical_href, anchor, c,
+                     row_number() OVER (PARTITION BY canonical_href
+                                        ORDER BY c DESC, anchor ASC) AS rn,
+                     sum(c) OVER (PARTITION BY canonical_href)
+                       AS n_mentions,
+                     count(*) OVER (PARTITION BY canonical_href)
+                       AS n_anchors
+              FROM counts
+            )
+            SELECT canonical_href, n_mentions, n_anchors,
+                   anchor AS top_anchor, c AS top_count
+            FROM ranked WHERE rn = 1 ORDER BY canonical_href
         """,
         "strip_dup_paragraphs": f"""
             WITH pg AS (

@@ -114,7 +114,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "bpe_token_counts",
              # round 3b: link graph + paragraph-level dedup + pagerank
              "extract_links", "link_graph", "strip_dup_paragraphs",
-             "pagerank_hosts", "best_representatives", "corpus_clean_best"]
+             "pagerank_hosts", "anchor_text_index",
+             "best_representatives", "corpus_clean_best"]
     qmap = entry.queries()
     out = {}
     for name in names:

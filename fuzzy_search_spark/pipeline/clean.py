@@ -101,9 +101,14 @@ def best_representatives(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: the group table joins the (row-local) quality
     projection doc-keyed, then ONE hash aggregation per group computes
-    the argmax via a lexicographic struct max — (score, n_chars, -id)
-    in a constant-size buffer.  No window over group members (template
-    clusters can be huge), no second pass, no driver collection.
+    the argmax via ``max_by`` over the UNIQUE lexicographic key
+    (score, n_chars, -id) — unique => deterministic despite max_by's
+    any-of-ties contract — in a constant-size buffer.  Spark plans
+    struct-keyed max_by sort-based, but its input is the group table
+    (near-dup members only, a sliver of the corpus) and partial
+    aggregation emits one row per group per task; no window over group
+    members (template clusters can be huge), no second pass, no driver
+    collection.
     """
     from fuzzy_search_spark.pipeline.dedup import near_dup_groups
     from fuzzy_search_spark.pipeline.textstats import quality_scores
@@ -120,11 +125,14 @@ def best_representatives(df: DataFrame, id_col: str = "doc_id",
     return (
         scored.groupBy("group_id")
         .agg(F.count(F.lit(1)).alias("n_members"),
-             F.max(F.struct(F.col("_score").alias("s"),
-                            F.col("_nc").alias("nc"),
-                            (-F.col(id_col)).alias("nid"))).alias("_b"))
+             F.max_by(
+                 F.struct(F.col(id_col).alias("kid"),
+                          F.col("_score").alias("s")),
+                 F.struct(F.col("_score").alias("s"),
+                          F.col("_nc").alias("nc"),
+                          (-F.col(id_col)).alias("nid"))).alias("_b"))
         .select("group_id",
-                (-F.col("_b.nid")).cast("long").alias("keep_id"),
+                F.col("_b.kid").cast("long").alias("keep_id"),
                 "n_members",
                 F.col("_b.s").alias("best_score"))
     )

@@ -173,3 +173,47 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
         )
     e.unpersist()
     return ranks
+
+
+def anchor_text_index(df: DataFrame, id_col: str = "doc_id",
+                      html_col: str = "html") -> DataFrame:
+    """Anchor-text aggregation per link target: what the web CALLS a
+    page — the classic off-page relevance/label signal (anchor text
+    describes the target better than the target's own boilerplate).
+
+    Returns per canonical target URL:
+    ``(canonical_href, n_mentions, n_anchors, top_anchor, top_count)``
+    where ``top_anchor`` is the most frequent non-empty anchor string
+    (ties -> lexicographically smallest).
+
+    Scale shape: the link explode feeds a single aggregation CHAIN —
+    (target, anchor) counts with map-side partials, then a per-target
+    rollup whose argmax is ``min_by`` over the UNIQUE lexicographic key
+    ``(-count, anchor)`` (unique => deterministic despite min_by's
+    any-of-ties contract) in a constant-size buffer.  Spark plans
+    struct-keyed min_by sort-based, but the sort runs AFTER the count
+    HashAggregate has reduced the stream to distinct (target, anchor)
+    pairs, and partial aggregation sends ONE row per target per task
+    into the shuffle — strictly less work than the window alternative,
+    which also sorts but carries every row (a hub URL can be linked
+    millions of times).  One lineage, no diamond.
+    """
+    links = extract_links(df, id_col=id_col, html_col=html_col)
+    counts = (
+        links.filter(F.length("anchor") > 0)
+        .groupBy("canonical_href", "anchor")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("canonical_href")
+        .agg(F.sum("c").alias("n_mentions"),
+             F.count(F.lit(1)).alias("n_anchors"),
+             F.min_by(
+                 F.struct(F.col("anchor").alias("a"),
+                          F.col("c").alias("c")),
+                 F.struct((-F.col("c")).alias("nc"),
+                          F.col("anchor").alias("a"))).alias("_b"))
+        .select("canonical_href", "n_mentions", "n_anchors",
+                F.col("_b.a").alias("top_anchor"),
+                F.col("_b.c").cast("long").alias("top_count"))
+    )

@@ -178,3 +178,32 @@ def test_pagerank_matches_python_and_conserves_mass(spark):
     # link-weighted asymmetry: a.com gets 2x the c.com->a mass plus
     # b.com's half; b.com gets 3/4 of a.com's mass -> both outrank c/d
     assert got["a.com"] > got["c.com"] and got["b.com"] > got["d.com"]
+
+
+def test_anchor_text_index_crafted(spark):
+    from fuzzy_search_spark.pipeline.weblinks import anchor_text_index
+
+    mk = '<a href="{}">{}</a>'
+    pages = spark.createDataFrame([
+        (1, mk.format("http://t.com/p", "click here")
+            + mk.format("http://T.com:80/p", "target page")
+            + mk.format("http://t.com/p#x", "target page")),
+        (2, mk.format("http://t.com/p/", "target page")
+            + mk.format("http://other.org/q", "elsewhere")
+            + '<a href="http://t.com/p"><img/></a>'),   # empty anchor
+    ], "doc_id long, html string")
+    out = {r.canonical_href: r for r in anchor_text_index(pages).collect()}
+    # all five t.com variants canonicalize together; empty anchor excluded
+    t = out["http://t.com/p"]
+    assert (t.n_mentions, t.n_anchors) == (4, 2)
+    assert (t.top_anchor, t.top_count) == ("target page", 3)
+    assert out["http://other.org/q"].top_anchor == "elsewhere"
+
+    plan = (anchor_text_index(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the heavy (target, anchor) count is a HashAggregate; the argmax
+    # rollup is the (sort-based) struct min_by over the REDUCED pair
+    # stream — never a window, never a Python pass
+    assert "HashAggregate" in plan
+    assert "Window" not in plan and "Python" not in plan
+    assert plan.count("SortAggregate") <= 2
