@@ -404,6 +404,17 @@ def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MAX_TYPES = 250_000
 
 
+def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: shard + reproducible shuffle order
+    + per-shard running token sum -> context-window bin assignments
+    (window partitioned by shard, never global)."""
+    from fuzzy_search_spark.pipeline.mixing import packing_plan
+
+    return (packing_plan(_docs(spark, sf_dir), max_tokens=512,
+                         num_shards=8)
+            .orderBy("doc_id"))
+
+
 def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style regex pre-token counts vs whitespace words, over
     documents with a deterministic punctuation/contraction/price tail
@@ -977,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
+        "packing_plan": q_packing_plan,
         "subword_token_stats": q_subword_token_stats,
         "bpe_token_counts": q_bpe_token_counts,
         "exact_dup_groups": q_exact_dup_groups,
@@ -1855,6 +1867,30 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN rates USING (source)
             WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
             ORDER BY b.doc_id
+        """,
+        "packing_plan": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('pack-v1:'
+                       || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS o,
+                     CAST(len(regexp_split_to_array(text, '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT doc_id, o % 8 AS shard, o, n_tokens,
+                     row_number() OVER (PARTITION BY o % 8
+                                        ORDER BY o, doc_id) - 1 AS pos,
+                     sum(n_tokens) OVER (PARTITION BY o % 8
+                                         ORDER BY o, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS start_tok
+              FROM b
+            )
+            SELECT doc_id, shard, pos, n_tokens, start_tok,
+                   CAST(floor(start_tok / 512) AS BIGINT) AS bin_id,
+                   start_tok % 512 AS bin_offset
+            FROM w ORDER BY doc_id
         """,
         "url_dedup": r"""
             WITH pages AS (

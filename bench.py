@@ -110,7 +110,7 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 3: substring-level dedup + web-corpus hygiene
              "duplicate_spans", "boilerplate_ratio",
              "repetition_signals", "decontaminate", "pii_scan",
-             "url_dedup", "corpus_sample", "subword_token_stats",
+             "url_dedup", "corpus_sample", "packing_plan", "subword_token_stats",
              "bpe_token_counts",
              # round 3b: link graph + paragraph-level dedup + pagerank
              "extract_links", "link_graph", "strip_dup_paragraphs",

@@ -106,3 +106,56 @@ def corpus_sample(df: DataFrame, rates, stratum_col: str = "source",
         .filter(F.col("bucket") < cutoff)
         .select(id_col, stratum_col, "bucket")
     )
+
+
+def packing_plan(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", max_tokens: int = 2048,
+                 num_shards: int = 1024,
+                 salt: str = "pack-v1") -> DataFrame:
+    """Deterministic sequence-packing plan: lay documents end to end
+    into fixed-token-budget bins (training context windows), in a
+    deterministic pseudo-random order — the corpus-assembly step between
+    mixture sampling and tokenization.
+
+    Each document gets a shard (``hash60(salt:id) % num_shards``) and a
+    position within its shard (ordered by the same hash, so the reading
+    order is a reproducible shuffle — same property argued for
+    :func:`corpus_sample`: retries, repartitioning and engine choice
+    cannot change which window a document lands in).  A running token
+    sum then yields, per document: the bin it starts in and the offset
+    inside that bin.  Documents longer than ``max_tokens`` keep their
+    full count and simply span bins (standard packed-sequence
+    continuation); whitespace tokens stand in for tokenizer counts
+    (swap in bpe_token_counts output for exact budgets).
+
+    Returns ``(doc_id, shard, pos, n_tokens, start_tok, bin_id,
+    bin_offset)`` with ``bin_id`` numbered per shard.
+
+    Scale shape: one scan -> hash projection -> a window cumulative sum
+    partitioned by SHARD (never a global window — partition size is
+    corpus/num_shards, tuned by the caller; the sort key is the 60-bit
+    hash, already uniform).  The only exchange is the shard
+    repartition.
+    """
+    tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col),
+        (h % num_shards).alias("shard"),
+        h.alias("_order"),
+        tokens.cast("long").alias("n_tokens"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_order", id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_tok")
+    return base.select(
+        id_col, "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / max_tokens).alias("bin_id"),
+        ((cum - F.col("n_tokens")) % max_tokens).alias("bin_offset"),
+    )

@@ -428,3 +428,49 @@ def test_mixing_is_broadcast_and_lazy(spark):
     assert "Exchange hashpartitioning" not in splan, splan
     assert plan_df.count() == 2 and sample.count() > 0
 
+
+
+def test_packing_plan_invariants(spark):
+    """Per-shard packing: positions are dense, running sums are
+    consistent (start_tok of pos p == start_tok + n_tokens of pos p-1),
+    bins honor the budget arithmetic, and the plan is deterministic
+    across repartitioning."""
+    from fuzzy_search_spark.pipeline.mixing import packing_plan
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i % 17)))
+         for i in range(60)],
+        "doc_id long, text string")
+    rows = packing_plan(docs, max_tokens=32, num_shards=4).collect()
+    assert len(rows) == 60
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.pos)
+        assert [m.pos for m in members] == list(range(len(members)))
+        cum = 0
+        for m in members:
+            assert m.start_tok == cum
+            assert m.bin_id == cum // 32
+            assert m.bin_offset == cum % 32
+            cum += m.n_tokens
+
+    # deterministic under input repartitioning
+    again = {r.doc_id: (r.shard, r.pos, r.bin_id) for r in
+             packing_plan(docs.repartition(7), max_tokens=32,
+                          num_shards=4).collect()}
+    assert again == {r.doc_id: (r.shard, r.pos, r.bin_id) for r in rows}
+
+
+def test_packing_plan_no_global_window(spark):
+    """The cumulative sum windows over SHARD, never a single partition."""
+    from fuzzy_search_spark.pipeline.mixing import packing_plan
+
+    out = packing_plan(_docs(spark), max_tokens=64, num_shards=8)
+    plan = _plan(out)
+    assert "windowspecdefinition(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Python" not in plan
