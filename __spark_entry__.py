@@ -637,6 +637,15 @@ def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=2, k=50)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-5 keywords (rounded-score ranking so
+    sub-1e-6 libm drift cannot flip the cut)."""
+    from fuzzy_search_spark.analysis.freq import tfidf_topk
+
+    return (tfidf_topk(_docs(spark, sf_dir), k=5)
+            .orderBy("doc_id", "rank"))
+
+
 def q_ngram_probabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLE / Laplace / conditional probabilities for the top bigrams."""
     from fuzzy_search_spark.analysis.freq import ngram_probabilities
@@ -1009,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
+        "tfidf_topk": q_tfidf_topk,
         "ngram_probabilities": q_ngram_probabilities,
         "skipgram_similarity": q_skipgram_similarity,
         "close_term_pairs": q_close_term_pairs,
@@ -2269,6 +2279,34 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "tfidf_topk": """
+            WITH pairs AS (
+              SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+'))
+                         AS term
+                FROM documents)
+              WHERE length(term) > 0
+              GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM pairs GROUP BY term
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+              SELECT p.doc_id, p.term, p.tf, d.df,
+                     round(p.tf * (ln((nd.n + 1.0) / (d.df + 1.0)) + 1.0),
+                           6) AS score
+              FROM pairs p JOIN dfreq d USING (term), nd
+            ), ranked AS (
+              SELECT doc_id, term, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, tf, df, score
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "ngram_probabilities": r"""
             WITH words AS (

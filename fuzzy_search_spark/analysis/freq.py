@@ -166,3 +166,55 @@ def log_likelihood_ratio(target: DataFrame, reference: DataFrame,
         .crossJoin(F.broadcast(totals))
         .select("gram", "freq_t", "freq_r", F.round(signed, 6).alias("llr"))
     )
+
+
+def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document TF-IDF keywords: the top ``k`` terms of each
+    document by smoothed TF-IDF — the per-doc complement of the
+    corpus-level LLR keyword list (llr_keywords compares corpora;
+    this labels individual documents).
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn-style
+    smoothing), ranked per document by ``(round(score, 6) DESC, term
+    ASC)`` — the ROUNDED score ranks, so sub-1e-6 libm differences
+    between engines cannot flip the cut (the DuckDB oracle ranks the
+    same way).
+
+    Scale shape: one scan -> explode -> (doc, term) count HashAggregate
+    whose exchange BOTH consumers reuse at runtime (the
+    document-frequency rollup and the scoring join — same
+    exchange-alignment pins as boilerplate_ratio), a broadcast one-row
+    corpus count, and a per-DOCUMENT row_number window (bounded by
+    document vocabulary, never corpus-wide).
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+                  .alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # exchange-alignment pins (see boilerplate_ratio): keep both
+        # consumers' subtrees canonically equal so the explode runs once
+        .filter(F.col("term").isNotNull() & F.col("doc_id").isNotNull())
+    )
+    dfreq = (pairs.filter(F.col("tf") >= 1)
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        pairs.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * (F.log((F.col("n") + 1.0)
+                                         / (F.col("df") + 1.0)) + 1.0), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )

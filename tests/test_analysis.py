@@ -237,3 +237,4 @@ def test_train_bpe_agrees_with_reference_surface_machinery():
         vocab_hist, _merges = train_bpe(Counter(tokens), k)
         vocab_inc = make_byte_pair_encoding(tokens, k)
         assert vocab_hist == vocab_inc, k
+

@@ -474,3 +474,60 @@ def test_packing_plan_no_global_window(spark):
     assert "windowspecdefinition(shard" in plan
     assert "Exchange SinglePartition" not in plan
     assert "Python" not in plan
+
+
+def test_tfidf_topk_crafted(spark):
+    """TF-IDF keywords: a term unique to one doc outranks corpus-wide
+    terms; ranking is dense 1..k; ubiquitous terms get the lowest idf."""
+    import math
+
+    from fuzzy_search_spark.analysis.freq import tfidf_topk
+
+    docs = spark.createDataFrame([
+        (1, "shared shared shared zebra"),
+        (2, "shared shared quokka quokka quokka"),
+        (3, "shared plain words here"),
+    ], "doc_id long, text string")
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for members in by_doc.values():
+        assert [m.rank for m in sorted(members, key=lambda m: m.rank)] \
+            == list(range(1, len(members) + 1))
+    # doc 2: quokka (tf=3, df=1) dominates shared (tf=2, df=3)
+    top2 = sorted(by_doc[2], key=lambda m: m.rank)
+    assert top2[0].term == "quokka" and top2[0].tf == 3 and top2[0].df == 1
+    want = round(3 * (math.log(4 / 2) + 1), 6)
+    assert top2[0].score == pytest.approx(want, abs=1e-6)
+    # doc 1: zebra (unique) beats shared despite tf 1 vs 3?  No: tf 3
+    # keeps shared ahead -> pin the actual order to the formula
+    s_shared = round(3 * (math.log(4 / 4) + 1), 6)
+    s_zebra = round(1 * (math.log(4 / 2) + 1), 6)
+    top1 = sorted(by_doc[1], key=lambda m: m.rank)
+    if s_shared >= s_zebra:
+        assert top1[0].term == "shared"
+    else:
+        assert top1[0].term == "zebra"
+
+
+def test_tfidf_topk_plan_shape(spark):
+    """The (doc, term) pair aggregation materializes once (AQE stage
+    reuse across the df-count and scoring branches); the only window
+    partitions by doc_id."""
+    from fuzzy_search_spark.analysis.freq import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i % 5} delta") for i in range(30)],
+        "doc_id long, text string")
+    out = tfidf_topk(docs, k=3)
+    out.collect()
+    final = (out._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial")[0])
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 1, "pair subtree not stage-reused"
+    assert final.count("Generate explode") == 1
+    assert "windowspecdefinition(doc_id" in final
+    # the only SinglePartition exchange is the one-row corpus-count
+    # total that gets broadcast (the blessed scalar-totals pattern)
+    assert final.count("Exchange SinglePartition") <= 1
