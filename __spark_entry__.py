@@ -377,6 +377,29 @@ def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("canonical_href"))
 
 
+def q_crawl_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta flags + declared rel=canonical extraction over
+    deterministic page HTML (both attribute orders, mixed case, absent
+    cases); effective_canonical falls back to the fetch URL."""
+    from fuzzy_search_spark.pipeline.weblinks import crawl_directives
+
+    doc = F.col("doc_id")
+    meta = (F.when(doc % 3 == 0, F.lit(
+        '<meta name="robots" content="noindex, nofollow">'))
+        .when(doc % 3 == 1, F.lit('<meta content="NOINDEX" name="robots">'))
+        .otherwise(F.lit("")))
+    link = (F.when(doc % 4 == 0, F.concat(
+        F.lit('<link rel="canonical" href="HTTP://Canon.example.com:80/page/'),
+        (doc % 25).cast("string"), F.lit('">')))
+        .when(doc % 4 == 1, F.lit('<link href="/self" rel="canonical">'))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta, link,
+                    F.lit("</head><body>x</body></html>"))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", _page_url(doc).alias("url"), html.alias("html"))
+    return crawl_directives(pages).orderBy("doc_id")
+
+
 def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
     style): remove paragraphs shared by >= 2 documents and reassemble.
@@ -994,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_index": q_anchor_text_index,
+        "crawl_directives": q_crawl_directives,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2027,6 +2051,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_href, n_mentions, n_anchors,
                    anchor AS top_anchor, c AS top_count
             FROM ranked WHERE rn = 1 ORDER BY canonical_href
+        """,
+        "crawl_directives": f"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'https://host' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><head>'
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN '<meta name="robots" content="noindex, nofollow">'
+                              WHEN doc_id % 3 = 1
+                              THEN '<meta content="NOINDEX" name="robots">'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 4 = 0
+                              THEN '<link rel="canonical" href="HTTP://Canon.example.com:80/page/'
+                                   || CAST(doc_id % 25 AS VARCHAR) || '">'
+                              WHEN doc_id % 4 = 1
+                              THEN '<link href="/self" rel="canonical">'
+                              ELSE '' END)
+                     || '</head><body>x</body></html>' AS html
+              FROM documents
+            ), mx AS (
+              SELECT doc_id, url,
+                     lower(coalesce(
+                       nullif(regexp_extract(html,
+                         '<meta [^>]*name="robots"[^>]*content="([^"]*)"', 1), ''),
+                       nullif(regexp_extract(html,
+                         '<meta [^>]*content="([^"]*)"[^>]*name="robots"', 1), ''),
+                       '')) AS robots,
+                     coalesce(
+                       nullif(regexp_extract(html,
+                         '<link [^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+                       nullif(regexp_extract(html,
+                         '<link [^>]*href="([^"]*)"[^>]*rel="canonical"', 1), ''),
+                       '') AS rel_canonical
+              FROM pages
+            ), links AS (
+              SELECT doc_id, robots, rel_canonical,
+                     CASE WHEN rel_canonical <> '' THEN rel_canonical
+                          ELSE url END AS href
+              FROM mx
+            ), {canon_href}
+            SELECT doc_id,
+                   contains(robots, 'noindex') AS noindex,
+                   contains(robots, 'nofollow') AS nofollow,
+                   rel_canonical,
+                   canonical_href AS effective_canonical
+            FROM canon ORDER BY doc_id
         """,
         "strip_dup_paragraphs": f"""
             WITH pg AS (

@@ -113,7 +113,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "url_dedup", "corpus_sample", "packing_plan", "subword_token_stats",
              "bpe_token_counts",
              # round 3b: link graph + paragraph-level dedup + pagerank
-             "extract_links", "link_graph", "strip_dup_paragraphs",
+             "extract_links", "link_graph", "crawl_directives",
+             "strip_dup_paragraphs",
              "pagerank_hosts", "anchor_text_index",
              "best_representatives", "corpus_clean_best"]
     qmap = entry.queries()

@@ -217,3 +217,53 @@ def anchor_text_index(df: DataFrame, id_col: str = "doc_id",
                 F.col("_b.a").alias("top_anchor"),
                 F.col("_b.c").cast("long").alias("top_count"))
     )
+
+
+#: meta-robots content, both attribute orders (name-first / content-first)
+_ROBOTS_NF = r'<meta [^>]*name="robots"[^>]*content="([^"]*)"'
+_ROBOTS_CF = r'<meta [^>]*content="([^"]*)"[^>]*name="robots"'
+#: rel=canonical href, both attribute orders
+_CANON_RF = r'<link [^>]*rel="canonical"[^>]*href="([^"]*)"'
+_CANON_HF = r'<link [^>]*href="([^"]*)"[^>]*rel="canonical"'
+
+
+def crawl_directives(df: DataFrame, id_col: str = "doc_id",
+                     url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """Per-page crawl/indexing directives pulled from raw HTML:
+    ``(doc_id, noindex, nofollow, rel_canonical, effective_canonical)``.
+
+    - ``noindex`` / ``nofollow`` come from the ``<meta name="robots">``
+      content (either attribute order) — the standard pre-index drop
+      gate (a page that asks not to be indexed should not be trained on
+      either, and noindex pages are disproportionately thin/utility
+      pages).
+    - ``rel_canonical`` is the page's DECLARED canonical URL (``<link
+      rel="canonical">``), empty when absent.
+    - ``effective_canonical`` canonicalizes the declared URL when
+      present, else the fetch URL — the strongest URL-level dedup key
+      available without content hashing (the site itself asserts which
+      page this is a copy of); feed it straight into a
+      group-by-canonical dedup exactly like
+      :func:`fuzzy_search_spark.pipeline.urls.url_dup_groups`.
+
+    Pure JVM regex projections over one scan — no shuffle, no Python;
+    fuses into any downstream plan.
+    """
+    html = F.col(html_col)
+    robots = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(html, _ROBOTS_NF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _ROBOTS_CF, 1), F.lit("")),
+        F.lit("")))
+    rel = F.coalesce(
+        F.nullif(F.regexp_extract(html, _CANON_RF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _CANON_HF, 1), F.lit("")),
+        F.lit(""))
+    effective = F.when(rel != "", canonical_url(rel)) \
+        .otherwise(canonical_url(F.col(url_col)))
+    return df.select(
+        F.col(id_col),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+        rel.alias("rel_canonical"),
+        effective.alias("effective_canonical"))

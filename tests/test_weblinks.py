@@ -207,3 +207,31 @@ def test_anchor_text_index_crafted(spark):
     assert "HashAggregate" in plan
     assert "Window" not in plan and "Python" not in plan
     assert plan.count("SortAggregate") <= 2
+
+
+def test_crawl_directives_crafted(spark):
+    from fuzzy_search_spark.pipeline.weblinks import crawl_directives
+
+    pages = spark.createDataFrame([
+        (1, "http://a.com/x",
+         '<head><meta name="robots" content="noindex, nofollow">'
+         '<link rel="canonical" href="HTTP://A.com:80/X/"></head>'),
+        (2, "http://b.com/y",
+         '<head><meta content="NOINDEX" name="robots">'
+         '<link href="/self" rel="canonical"></head>'),
+        (3, "HTTP://C.com:80/z#frag", "<head></head>"),
+    ], "doc_id long, url string, html string")
+    out = {r.doc_id: r for r in crawl_directives(pages).collect()}
+    assert out[1].noindex and out[1].nofollow
+    assert out[1].rel_canonical == "HTTP://A.com:80/X/"
+    assert out[1].effective_canonical == "http://a.com/X"
+    # content-first attribute order + uppercase still detected
+    assert out[2].noindex and not out[2].nofollow
+    assert out[2].effective_canonical == "/self"
+    # no directives: flags false, canonical falls back to the fetch URL
+    assert not out[3].noindex and out[3].rel_canonical == ""
+    assert out[3].effective_canonical == "http://c.com/z"
+
+    plan = (crawl_directives(pages)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
