@@ -516,6 +516,19 @@ def q_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric daily-increment dedup: new batch (doc_id % 10 == 0)
+    LSH-screened against the existing corpus (the rest) — the corpus
+    never self-joins."""
+    from fuzzy_search_spark.pipeline.dedup import incremental_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    return (incremental_near_duplicates(
+                docs.filter(F.col("doc_id") % 10 == 0),
+                docs.filter(F.col("doc_id") % 10 != 0))
+            .orderBy("new_id", "corpus_id"))
+
+
 def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical dedup groups: connected components (iterative min-label
     propagation, localCheckpointed rounds) over the verified near-dup
@@ -1028,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_duplicates": q_near_duplicates,
+        "incremental_near_dups": q_incremental_near_dups,
         "near_dup_groups": q_near_dup_groups,
         "corpus_clean": q_corpus_clean,
         "best_representatives": q_best_representatives,
@@ -1288,6 +1302,37 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sizes nb ON id_b = nb.doc_id
         WHERE i / (na.n + nb.n - i) >= 0.5
         ORDER BY id_a, id_b
+    """
+
+    incremental_near_dups_sql = lsh_cte + """
+        , cbuckets AS (
+          SELECT band, band_hash FROM banded WHERE doc_id % 10 <> 0
+          GROUP BY band, band_hash HAVING count(*) <= 10000
+        ), icands AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                 count(*) AS n_bands
+          FROM banded n
+          JOIN banded c ON n.band = c.band AND n.band_hash = c.band_hash
+          JOIN cbuckets kb
+            ON c.band = kb.band AND c.band_hash = kb.band_hash
+          WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+          GROUP BY 1, 2
+        ), isizes AS (
+          SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+        ), iinter AS (
+          SELECT ic.new_id, ic.corpus_id, ic.n_bands, count(*) AS i
+          FROM icands ic
+          JOIN shingles sn ON sn.doc_id = ic.new_id
+          JOIN shingles sc ON sc.doc_id = ic.corpus_id
+                          AND sn.shingle = sc.shingle
+          GROUP BY 1, 2, 3
+        )
+        SELECT new_id, corpus_id, n_bands,
+               round(i / (nn.n + nc.n - i), 6) AS jaccard
+        FROM iinter JOIN isizes nn ON new_id = nn.doc_id
+                    JOIN isizes nc ON corpus_id = nc.doc_id
+        WHERE i / (nn.n + nc.n - i) >= 0.5
+        ORDER BY new_id, corpus_id
     """
 
     # connected components over the verified near-dup pairs: recursive
@@ -2157,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": minhash_sig + " ORDER BY doc_id",
         "minhash_lsh_pairs": lsh_pairs,
         "near_duplicates": near_dups_verified,
+        "incremental_near_dups": incremental_near_dups_sql,
         "near_dup_groups": near_dup_groups_sql,
         "corpus_clean": corpus_clean_sql,
         "best_representatives": best_reps_sql,

@@ -106,7 +106,7 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "llr_keywords", "tfidf_topk",
              # round 2: reworked / new operators under timing watch
              "vocabulary", "skipgram_similarity", "spelling_links",
-             "patterns_in_context", "near_dup_groups", "corpus_clean",
+             "patterns_in_context", "near_dup_groups", "corpus_clean", "incremental_near_dups",
              # round 3: substring-level dedup + web-corpus hygiene
              "duplicate_spans", "boilerplate_ratio",
              "repetition_signals", "decontaminate", "pii_scan",

@@ -428,3 +428,77 @@ def near_dup_groups(df: DataFrame, id_col: str = "doc_id",
         F.col("node").alias(id_col), F.col("label").alias("group_id"))
     w = Window.partitionBy("group_id")
     return cc.withColumn("group_size", F.count(F.lit(1)).over(w))
+
+
+def incremental_near_duplicates(new_df: DataFrame, corpus_df: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", k: int = 3,
+                                num_hashes: int = 8, bands: int = 4,
+                                threshold: float = 0.5,
+                                max_bucket_size: int = 10_000) -> DataFrame:
+    """Asymmetric near-dup scan: which documents of a NEW batch
+    near-duplicate the EXISTING corpus — the shape a daily-increment
+    pipeline actually runs (dedup the day's crawl against everything
+    already kept, never corpus x corpus again).
+
+    Returns ``(new_id, corpus_id, n_bands, jaccard)`` for cross-side
+    pairs clearing ``threshold``; within-batch duplicates are
+    :func:`near_duplicates` on the batch alone.
+
+    Scale shape: both sides band their MinHash signatures exactly as
+    :func:`minhash_lsh_pairs`; the candidate join is new-side x
+    corpus-side per (band, band_hash) — the corpus never self-joins.
+    The CORPUS side's degenerate buckets are capped with the same
+    count-first discipline as the symmetric op (a hot template bucket
+    would otherwise cross-product against every matching new doc); the
+    new side is a single operator-controlled batch, small by
+    construction, and stays uncapped so no fresh document silently
+    skips screening.  Exact-Jaccard verification re-shingles ONLY
+    candidate docs on each side (semi-joins first).  When the new
+    batch is tiny, AQE broadcasts its banded side into the probe join.
+    """
+    bn = (_banded_signatures(new_df, id_col, text_col, k, num_hashes,
+                             bands)
+          .select(F.col(id_col).alias("new_id"), "band", "band_hash"))
+    bc = (_banded_signatures(corpus_df, id_col, text_col, k, num_hashes,
+                             bands)
+          .select(F.col(id_col).alias("corpus_id"), "band", "band_hash"))
+    keep_c = (bc.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("bucket_n"))
+              .filter(F.col("bucket_n") <= max_bucket_size)
+              .select("band", "band_hash"))
+    cands = (
+        bn.join(bc.join(keep_c, ["band", "band_hash"]),
+                ["band", "band_hash"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    cn = cands.select(F.col("new_id").alias(id_col)).distinct()
+    cc = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+    shn = word_shingles(new_df.join(cn, id_col, "left_semi"),
+                        id_col, text_col, k)
+    shc = word_shingles(corpus_df.join(cc, id_col, "left_semi"),
+                        id_col, text_col, k)
+    inter = (
+        cands
+        .join(shn.select(F.col(id_col).alias("new_id"),
+                         F.col("shingle").alias("sh_n")), "new_id")
+        .join(shc.select(F.col(id_col).alias("corpus_id"),
+                         F.col("shingle").alias("sh_c")), "corpus_id")
+        .filter(F.col("sh_n") == F.col("sh_c"))
+        .groupBy("new_id", "corpus_id", "n_bands")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nn = (shn.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_n"))
+          .select(F.col(id_col).alias("new_id"), "n_n"))
+    nc = (shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+          .select(F.col(id_col).alias("corpus_id"), "n_c"))
+    return (
+        inter.join(nn, "new_id").join(nc, "corpus_id")
+        .withColumn("jaccard_raw",
+                    F.col("inter")
+                    / (F.col("n_n") + F.col("n_c") - F.col("inter")))
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("new_id", "corpus_id", "n_bands",
+                F.round("jaccard_raw", 6).alias("jaccard"))
+    )

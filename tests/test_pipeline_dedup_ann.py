@@ -491,3 +491,44 @@ def test_corpus_clean_best_quality_mode(spark):
 
     with pytest.raises(ValueError):
         corpus_clean(docs, representative="nope")
+
+
+def test_incremental_near_duplicates_crafted(spark):
+    """Cross-side pairs only: a new doc near-duplicating a corpus doc is
+    flagged; new-new and corpus-corpus duplicates are NOT (that is the
+    symmetric op's job); result agrees with the symmetric verifier on
+    the union."""
+    from fuzzy_search_spark.pipeline.dedup import (
+        incremental_near_duplicates,
+        near_duplicates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before sunrise happens")
+    corpus = spark.createDataFrame([
+        (1, base + " one"),
+        (2, "completely different corpus text about query engines and "
+            "shuffle plans with many unrelated words in this row"),
+        (3, base + " one"),       # corpus-internal dup: must not appear
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (100, base + " two"),     # near-dups corpus 1 and 3
+        (101, "fresh unrelated content about gardening tips and tools "
+              "for growing tomatoes on a small city balcony in summer"),
+        (102, "fresh unrelated content about gardening tips and tools "
+              "for growing tomatoes on a small city balcony in summer"),
+        # 101/102 duplicate each other (same side): must not appear
+    ], "doc_id long, text string")
+    rows = incremental_near_duplicates(new, corpus, threshold=0.5).collect()
+    pairs = {(r.new_id, r.corpus_id) for r in rows}
+    assert pairs == {(100, 1), (100, 3)}
+    for r in rows:
+        assert r.jaccard >= 0.5 and r.n_bands >= 1
+
+    # cross-check the jaccard against the symmetric verifier on the union
+    union = corpus.unionByName(new)
+    sym = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+           for r in near_duplicates(union, threshold=0.5).collect()}
+    for r in rows:
+        key = (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
+        assert sym[key] == r.jaccard
