@@ -843,6 +843,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "merge_rank int, left string, right string, merged string")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding table with a
+    per-row dequantization-cosine audit (codes are elementwise IEEE
+    arithmetic -> bit-identical cross-engine; joined to a string for the
+    hash compare like minhash_signatures)."""
+    from fuzzy_search_spark.pipeline.ann import quantize_embeddings_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings_int8(emb)
+    return (out.select("vec_id", "scale",
+                       F.concat_ws(",", F.col("qvec").cast("array<string>"))
+                       .alias("qvec_joined"),
+                       "recon_cosine")
+            .orderBy("vec_id"))
+
+
 def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import cosine_topk
 
@@ -1068,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_links": q_spelling_links,
         "regex_entities": q_regex_entities,
         "patterns_in_context": q_patterns_in_context,
+        "quantize_embeddings": q_quantize_embeddings,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_ivf_top10": q_ann_ivf_top10,
@@ -2387,6 +2404,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_top10": ann_lsh_sql,
         **({"ann_ivf_top10": ann_ivf_sql} if ann_ivf_sql else {}),
+        "quantize_embeddings": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     list_max(list_transform(embedding::DOUBLE[],
+                                             x -> abs(x))) AS am
+              FROM embeddings
+            ), qz AS (
+              SELECT vec_id, e, am,
+                     CASE WHEN am = 0
+                          THEN list_transform(e, x -> 0)
+                          ELSE list_transform(e, x ->
+                            CAST(floor(x / am * 127.0 + 0.5) AS INT)) END
+                       AS qvec
+              FROM base
+            )
+            SELECT vec_id,
+                   round(am / 127.0, 9) AS scale,
+                   array_to_string(qvec, ',') AS qvec_joined,
+                   CASE WHEN am = 0 THEN 1.0
+                        ELSE round(list_cosine_similarity(e,
+                          list_transform(qvec, c -> c * am / 127.0)), 6)
+                        END AS recon_cosine
+            FROM qz ORDER BY vec_id
+        """,
         "ann_cosine_top10": """
             WITH q AS (
               SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0

@@ -102,7 +102,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
 
     names = ["fuzzy_match", "token_fuzzy_match", "exact_match_counts",
              "token_stats", "minhash_lsh_pairs", "near_duplicates",
-             "ngram_top50", "ann_cosine_top10", "events_sessions",
+             "ngram_top50", "ann_cosine_top10", "quantize_embeddings",
+             "events_sessions",
              "llr_keywords", "tfidf_topk",
              # round 2: reworked / new operators under timing watch
              "vocabulary", "skipgram_similarity", "spelling_links",

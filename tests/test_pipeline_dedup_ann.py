@@ -532,3 +532,30 @@ def test_incremental_near_duplicates_crafted(spark):
     for r in rows:
         key = (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id))
         assert sym[key] == r.jaccard
+
+
+def test_quantize_embeddings_int8(spark):
+    """int8 quantization: codes bounded, extreme elements hit +-127,
+    dequantization stays cosine-close, zero vectors degrade gracefully,
+    and the op is a pure projection (no shuffle)."""
+    from fuzzy_search_spark.pipeline.ann import quantize_embeddings_int8
+
+    df = spark.createDataFrame([
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),        # zero vector
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ], "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+
+    # round-half-up is toward +inf: -63.5 -> -63
+    assert out[1].qvec == [127, -63, 32, 0]
+    assert out[1].scale == pytest.approx(1.0 / 127, abs=1e-9)
+    assert out[1].recon_cosine >= 0.999
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+    assert out[2].recon_cosine == 1.0
+    assert out[3].qvec == [-127, 127, 64, -63]
+    assert all(-127 <= c <= 127 for r in out.values() for c in r.qvec)
+
+    plan = (quantize_embeddings_int8(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
