@@ -400,6 +400,28 @@ def q_crawl_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_directives(pages).orderBy("doc_id")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC byte path, distributed: wrap documents into real
+    member-gzip WARC/1.0 files (applyInPandas, one file per group), then
+    parse them back with the streaming reader (mapInPandas, shuffle-free)
+    — url/date/status/content-type and the exact payload bytes are all
+    SQL-reconstructable, so the oracle checks the whole write->gzip->parse
+    round-trip."""
+    from fuzzy_search_spark.sources.warc import read_warc, synth_warc_files
+
+    files = synth_warc_files(_docs(spark, sf_dir), n_files=8)
+    pages = read_warc(files)
+    return (pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        "http_status",
+        "content_type",
+        F.md5(F.col("html")).alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"))
+        .orderBy("url"))
+
+
 def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
     style): remove paragraphs shared by >= 2 documents and reassemble.
@@ -1047,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_text_index": q_anchor_text_index,
         "crawl_directives": q_crawl_directives,
+        "warc_ingest": q_warc_ingest,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2160,6 +2183,25 @@ def oracle_sql() -> dict[str, str]:
                    rel_canonical,
                    canonical_href AS effective_canonical
             FROM canon ORDER BY doc_id
+        """,
+        "warc_ingest": """
+            WITH pages AS (
+              SELECT 'https://example.org/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     strftime(TIMESTAMP '2020-01-01 00:00:00'
+                              + to_seconds(doc_id),
+                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                     CAST(200 AS INT) AS http_status,
+                     'text/html; charset=utf-8' AS content_type,
+                     '<html><body><p>'
+                     || replace(replace(replace(coalesce(text, ''),
+                          '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     || '</p></body></html>' AS html
+              FROM documents
+            )
+            SELECT url, warc_date, http_status, content_type,
+                   md5(html) AS html_md5, strlen(html) AS n_bytes
+            FROM pages ORDER BY url
         """,
         "strip_dup_paragraphs": f"""
             WITH pg AS (
