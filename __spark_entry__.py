@@ -422,6 +422,20 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: Stupid-Backoff bigram LM trained on
+    the even-doc half of the corpus, scoring every document.  Per-token
+    log10 scores are summed as integer micro-units, so the document sums
+    are exact and order-independent (hash-comparable cross-engine)."""
+    from fuzzy_search_spark.pipeline.lm import (score_documents,
+                                                train_bigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    uni, big, tot = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return (score_documents(docs, uni, big, tot)
+            .orderBy("doc_id"))
+
+
 def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
     style): remove paragraphs shared by >= 2 documents and reassemble.
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_text_index,
         "crawl_directives": q_crawl_directives,
         "warc_ingest": q_warc_ingest,
+        "lm_doc_scores": q_lm_doc_scores,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2202,6 +2217,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, http_status, content_type,
                    md5(html) AS html_md5, strlen(html) AS n_bytes
             FROM pages ORDER BY url
+        """,
+        "lm_doc_scores": r"""
+            WITH tr AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents WHERE doc_id % 2 = 0
+            ), uni AS (
+              SELECT u AS w, count(*)::BIGINT AS c
+              FROM tr, unnest(t) AS z(u) GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT sum(c) FROM uni) AS T,
+                     (SELECT count(*) FROM uni) AS V,
+                     (SELECT count(*) FROM tr) AS ndocs
+            ), trp AS (
+              SELECT list_prepend('<s>', t) AS p FROM tr
+            ), big AS (
+              SELECT g, count(*)::BIGINT AS c12
+              FROM (SELECT unnest([p[i] || ' ' || p[i+1]
+                                   for i in range(1, greatest(len(p), 1))])
+                             AS g
+                    FROM trp)
+              GROUP BY 1
+            ), bigc AS (
+              SELECT b.g, b.c12, coalesce(u.c, t.ndocs) AS c1
+              FROM big b
+              LEFT JOIN uni u ON u.w = split_part(b.g, ' ', 1)
+              CROSS JOIN tot t
+            ), pairs AS (
+              SELECT doc_id,
+                     unnest([p[i] || ' ' || p[i+1]
+                             for i in range(1, greatest(len(p), 1))]) AS g
+              FROM (SELECT doc_id,
+                           list_prepend('<s>',
+                             regexp_extract_all(lower(text), '\w+')) AS p
+                    FROM documents)
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(round((CASE
+                       WHEN b.c12 IS NOT NULL
+                         THEN log10(b.c12 / b.c1::DOUBLE)
+                       WHEN u2.c IS NOT NULL
+                         THEN log10(0.4 * (u2.c + 1) / (t.T + t.V + 1.0))
+                       ELSE log10(0.4 / (t.T + t.V + 1.0))
+                     END) * 1000000.0) AS BIGINT) AS micro
+              FROM pairs
+              LEFT JOIN bigc b ON b.g = pairs.g
+              LEFT JOIN uni u2 ON u2.w = split_part(pairs.g, ' ', 2)
+              CROSS JOIN tot t
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_scored,
+                     sum(micro)::BIGINT AS sum_logp_micro
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_scored, 0) AS n_scored,
+                   coalesce(a.sum_logp_micro, 0) AS sum_logp_micro,
+                   (CASE WHEN coalesce(a.n_scored, 0) > 0
+                         THEN CAST(round(a.sum_logp_micro
+                                         / a.n_scored::DOUBLE) AS BIGINT)
+                         ELSE 0 END) / 1000000.0 AS avg_logp,
+                   round(pow(10.0,
+                     -((CASE WHEN coalesce(a.n_scored, 0) > 0
+                             THEN CAST(round(a.sum_logp_micro
+                                             / a.n_scored::DOUBLE) AS BIGINT)
+                             ELSE 0 END) / 1000000.0)), 4) AS perplexity
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "strip_dup_paragraphs": f"""
             WITH pg AS (

@@ -1,0 +1,130 @@
+"""Language-model quality scoring: Stupid-Backoff bigram log-probability
+per document (the CCNet-style perplexity filter, Wenzek et al. 2020;
+backoff scheme from Brants et al. 2007, "Large Language Models in Machine
+Translation").
+
+A web-scale pipeline scores every page with an n-gram LM trained on a
+trusted corpus and drops the high-perplexity tail.  This module trains the
+LM distributed (two hash aggregations over the token stream) and scores
+documents with two key-joins — no model file, no Python in the hot path:
+
+* ``train_bigram_lm`` — unigram counts, bigram counts with their context
+  counts pre-attached (so scoring needs no third join), and a one-row
+  totals frame.  Documents are padded with a ``<s>`` sentinel whose
+  context count is the training-document count.
+* ``score_documents`` — per token ``t_i`` (i >= 1 in the padded stream):
+  ``c(w1,w2)/c(w1)`` if the bigram was seen, else
+  ``alpha * (c(w2)+1)/(T+V+1)`` (add-one unigram with one reserved
+  OOV slot), else ``alpha/(T+V+1)``.  Per-token log10 scores are rounded
+  to 1e-6 and summed as INTEGER micro-units, which makes the document sum
+  exact and independent of row order / partitioning — the property the
+  cross-engine oracle (and any re-run on a different cluster size) needs.
+  Plain float summation would be IEEE-order-dependent.
+
+Scale shape: training is two partial-aggregated groupBys (map-side
+combine); scoring shuffles the exploded pair stream twice (bigram key,
+unigram key).  Stopword keys are hot, but both joins are plain hash joins
+that AQE's skew-join splitting handles; for a fixed trusted LM the counts
+tables can instead be broadcast.  The reference library has no LM layer
+(builder-brief scope: training-data pipeline operators).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = r"\w+"
+BOS = "<s>"
+
+
+def _tokens(text_col: str):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE),
+                                F.lit(0))
+
+
+def _padded_pairs(text_col: str):
+    """``<s>``-padded adjacent pairs as ``'w1 w2'`` string keys, built via
+    zip_with over shifted slices (no per-index slicing, no window)."""
+    p = F.concat(F.array(F.lit(BOS)), _tokens(text_col))
+    n = F.size(p)
+    return F.zip_with(F.slice(p, 1, n - 1), F.slice(p, 2, n - 1),
+                      lambda a, b: F.concat_ws(" ", a, b))
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text"
+                    ) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the bigram LM.  Returns ``(unigrams, bigrams, totals)``:
+    ``unigrams(w, c)``, ``bigrams(g, c12, c1)`` keyed by the ``'w1 w2'``
+    pair string with the context count attached, and a one-row
+    ``totals(train_tokens, vocab_size, n_docs)``."""
+    toks = docs.select(F.explode(_tokens(text_col)).alias("w"))
+    unigrams = toks.groupBy("w").agg(F.count("*").alias("c"))
+
+    pairs = docs.select(F.explode(_padded_pairs(text_col)).alias("g"))
+    big = pairs.groupBy("g").agg(F.count("*").alias("c12"))
+
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w1 = F.split(F.col("g"), " ", 2).getItem(0)
+    bigrams = (big.withColumn("w1", w1)
+               .join(unigrams.withColumnRenamed("w", "w1")
+                     .withColumnRenamed("c", "uc"), "w1", "left")
+               .crossJoin(F.broadcast(n_docs))
+               .select("g", "c12",
+                       F.coalesce("uc", "n_docs").alias("c1")))
+
+    totals = (unigrams.agg(F.sum("c").alias("train_tokens"),
+                           F.count("*").alias("vocab_size"))
+              .crossJoin(F.broadcast(n_docs)))
+    return unigrams, bigrams, totals
+
+
+def score_documents(docs: DataFrame, unigrams: DataFrame,
+                    bigrams: DataFrame, totals: DataFrame,
+                    alpha: float = 0.4, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score every document under the trained LM.
+
+    Returns ``(id, n_scored, sum_logp_micro, avg_logp, perplexity)`` where
+    ``sum_logp_micro`` is the exact integer sum of per-token
+    ``round(log10(p) * 1e6)`` (order-independent), ``avg_logp`` its mean
+    (0.0 for empty documents) and ``perplexity = 10^-avg_logp``."""
+    pairs = docs.select(F.col(id_col),
+                        F.explode(_padded_pairs(text_col)).alias("g"))
+    w2 = F.split(F.col("g"), " ", 2).getItem(1)
+    scored = (pairs
+              .join(bigrams, "g", "left")
+              .withColumn("w2", w2)
+              .join(unigrams.withColumnRenamed("w", "w2")
+                    .withColumnRenamed("c", "c2"), "w2", "left")
+              .crossJoin(F.broadcast(totals)))
+    denom = F.col("train_tokens") + F.col("vocab_size") + F.lit(1.0)
+    logp = (F.when(F.col("c12").isNotNull(),
+                   F.log10(F.col("c12") / F.col("c1")))
+            .when(F.col("c2").isNotNull(),
+                  F.log10(F.lit(alpha) * (F.col("c2") + 1) / denom))
+            .otherwise(F.log10(F.lit(alpha) / denom)))
+    micro = F.round(logp * 1e6).cast("long")
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count("*").alias("n_scored"),
+                    F.sum(micro).alias("sum_logp_micro")))
+    # Round the mean in INTEGER micro units (scale-0 round of one exact
+    # division), not with round(x, 6): scaled rounding of a value sitting
+    # on a .5*1e-6 boundary takes engine-specific decimal paths, while
+    # scale-0 half-away-from-zero on the same IEEE quotient is identical
+    # everywhere.
+    avg_micro = F.when(
+        F.col("n_scored") > 0,
+        F.round(F.col("sum_logp_micro") / F.col("n_scored")).cast("long")
+    ).otherwise(F.lit(0))
+    avg = avg_micro / 1e6
+    out = (docs.select(id_col)
+           .join(per_doc, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+                   F.coalesce("sum_logp_micro", F.lit(0))
+                   .alias("sum_logp_micro"),
+                   avg.alias("avg_logp")))
+    return out.withColumn(
+        "perplexity", F.round(F.pow(F.lit(10.0), -F.col("avg_logp")), 4))

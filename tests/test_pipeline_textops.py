@@ -531,3 +531,79 @@ def test_tfidf_topk_plan_shape(spark):
     # the only SinglePartition exchange is the one-row corpus-count
     # total that gets broadcast (the blessed scalar-totals pattern)
     assert final.count("Exchange SinglePartition") <= 1
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM quality scoring (pipeline/lm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_training_counts(spark):
+    from fuzzy_search_spark.pipeline.lm import train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran"), (4, "")],
+        "doc_id long, text string")
+    uni, big, tot = train_bigram_lm(train)
+    assert sorted((r.w, r.c) for r in uni.collect()) == [
+        ("cat", 2), ("ran", 1), ("sat", 1), ("the", 2)]
+    # context counts attached; <s> context = n_docs (incl. the empty doc)
+    assert sorted((r.g, r.c12, r.c1) for r in big.collect()) == [
+        ("<s> the", 2, 3), ("cat ran", 1, 2), ("cat sat", 1, 2),
+        ("the cat", 2, 2)]
+    t = tot.collect()[0]
+    assert (t.train_tokens, t.vocab_size, t.n_docs) == (6, 4, 3)
+
+
+def test_lm_score_documents_hand_computed(spark):
+    """Seen-bigram, backoff-unigram and OOV paths, against hand math;
+    empty docs survive with zero counts and perplexity 1."""
+    import math
+
+    from fuzzy_search_spark.pipeline.lm import (score_documents,
+                                                train_bigram_lm)
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran"), (4, "")],
+        "doc_id long, text string")
+    uni, big, tot = train_bigram_lm(train)
+    score = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog"), (9, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           score_documents(score, uni, big, tot).collect()}
+
+    # doc 0: (<s> the) 2/3, (the cat) 2/2, (cat sat) 1/2 - all seen bigrams
+    exp0 = (round(math.log10(2 / 3) * 1e6) + 0
+            + round(math.log10(0.5) * 1e6))
+    assert out[0].n_scored == 3
+    assert out[0].sum_logp_micro == exp0
+    # doc 1: (<s> the) seen; (the dog) OOV word -> alpha/(T+V+1) = 0.4/11
+    exp1 = (round(math.log10(2 / 3) * 1e6)
+            + round(math.log10(0.4 / 11) * 1e6))
+    assert out[1].sum_logp_micro == exp1
+    assert out[1].avg_logp == round(exp1 / 2) / 1e6
+    assert out[1].perplexity == round(10 ** -out[1].avg_logp, 4)
+    # empty doc: kept, zeroed, ppl 1
+    assert (out[9].n_scored, out[9].sum_logp_micro,
+            out[9].avg_logp, out[9].perplexity) == (0, 0, 0.0, 1.0)
+
+
+def test_lm_backoff_seen_unigram_path(spark):
+    """A word seen in training but in an unseen bigram takes the
+    alpha*(c+1)/(T+V+1) unigram backoff."""
+    import math
+
+    from fuzzy_search_spark.pipeline.lm import (score_documents,
+                                                train_bigram_lm)
+
+    train = spark.createDataFrame(
+        [(0, "a b"), (2, "b c")], "doc_id long, text string")
+    uni, big, tot = train_bigram_lm(train)
+    # bigram "a c" unseen; c seen (count 1); T=4 V=3
+    out = score_documents(
+        spark.createDataFrame([(1, "a c")], "doc_id long, text string"),
+        uni, big, tot).collect()[0]
+    exp = (round(math.log10(1 / 2) * 1e6)           # (<s> a): 1/2 docs
+           + round(math.log10(0.4 * 2 / 8) * 1e6))  # backoff for c
+    assert out.sum_logp_micro == exp
