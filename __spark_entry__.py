@@ -422,6 +422,41 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt admission over synthetic per-host robots files:
+    the generic agent exercises prefix rules with longest-match/allow-wins
+    precedence, the specific agent exercises wildcard+anchor rules and the
+    specific-group-shadows-star rule.  The oracle reconstructs decisions
+    analytically from the generation formula."""
+    from fuzzy_search_spark.pipeline.robots import (parse_robots,
+                                                    robots_allowed)
+
+    docs = _docs(spark, sf_dir)
+    hs = (F.col("doc_id") % 10).cast("string")
+    robots = docs.select(hs.alias("hs")).distinct().select(
+        F.concat(F.lit("host"), F.col("hs"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("# synthetic\nUser-agent: *\nDisallow: /p/"),
+            F.col("hs"), F.lit("\nAllow: /p/"), F.col("hs"),
+            F.lit("0\n\nUser-agent: fuzzybot\nDisallow: /q/*7$\n")
+        ).alias("robots_txt"))
+    rules = parse_robots(robots)
+
+    base = docs.select(F.col("doc_id").cast("string").alias("ids"),
+                       hs.alias("hs"))
+    mk = lambda kind: base.select(F.concat(  # noqa: E731
+        F.lit("https://host"), F.col("hs"), F.lit(f".com/{kind}/"),
+        F.col("ids")).alias("url"))
+    urls = mk("p").union(mk("q"))
+
+    star = robots_allowed(urls, rules, "*").select(
+        "url", F.col("allowed").alias("allowed_star"),
+        F.coalesce("matched_path", F.lit("")).alias("match_star"))
+    bot = robots_allowed(urls, rules, "fuzzybot").select(
+        "url", F.col("allowed").alias("allowed_bot"))
+    return star.join(bot, "url").orderBy("url")
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: Stupid-Backoff bigram LM trained on
     the even-doc half of the corpus, scoring every document.  Per-token
@@ -1085,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_directives": q_crawl_directives,
         "warc_ingest": q_warc_ingest,
         "lm_doc_scores": q_lm_doc_scores,
+        "robots_admission": q_robots_admission,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2217,6 +2253,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, http_status, content_type,
                    md5(html) AS html_md5, strlen(html) AS n_bytes
             FROM pages ORDER BY url
+        """,
+        "robots_admission": """
+            WITH u AS (
+              SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS hs,
+                     CAST(doc_id AS VARCHAR) AS ids, 'p' AS kind
+              FROM documents
+              UNION ALL
+              SELECT doc_id, CAST(doc_id % 10 AS VARCHAR),
+                     CAST(doc_id AS VARCHAR), 'q'
+              FROM documents
+            )
+            SELECT 'https://host' || hs || '.com/' || kind || '/' || ids
+                     AS url,
+                   CASE WHEN kind = 'q' THEN true
+                        WHEN starts_with(ids, hs || '0') THEN true
+                        WHEN starts_with(ids, hs) THEN false
+                        ELSE true END AS allowed_star,
+                   CASE WHEN kind = 'p' AND starts_with(ids, hs || '0')
+                          THEN '/p/' || hs || '0'
+                        WHEN kind = 'p' AND starts_with(ids, hs)
+                          THEN '/p/' || hs
+                        ELSE '' END AS match_star,
+                   CASE WHEN kind = 'q' THEN (doc_id % 10) <> 7
+                        ELSE true END AS allowed_bot
+            FROM u ORDER BY url
         """,
         "lm_doc_scores": r"""
             WITH tr AS (
