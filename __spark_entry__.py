@@ -422,6 +422,32 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("url"))
 
 
+MOJI_SUFFIX = "café déjà vu".encode("utf-8").decode("latin-1")
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair over a synthetically corrupted corpus: one third of
+    docs get a UTF-8-seen-as-Latin-1 suffix (repaired), one third stay
+    ASCII (untouched), one third get genuine Latin-1 accents (must NOT be
+    'repaired' — their bytes are invalid UTF-8).  The corpus itself is
+    ASCII, so the oracle knows each expected output exactly."""
+    from fuzzy_search_spark.pipeline.textstats import fix_mojibake
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 3
+    corrupted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(m == 0, F.lit(" " + MOJI_SUFFIX))
+                 .when(m == 2, F.lit(" naïve"))
+                 .otherwise(F.lit(""))).alias("text"))
+    out = fix_mojibake(corrupted)
+    return (out.select("doc_id", "was_mojibake",
+                       F.md5(F.encode("text_fixed", "UTF-8"))
+                       .alias("fixed_md5"))
+            .orderBy("doc_id"))
+
+
 def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 robots.txt admission over synthetic per-host robots files:
     the generic agent exercises prefix rules with longest-match/allow-wins
@@ -1121,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "lm_doc_scores": q_lm_doc_scores,
         "robots_admission": q_robots_admission,
+        "fix_mojibake": q_fix_mojibake,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2253,6 +2280,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, http_status, content_type,
                    md5(html) AS html_md5, strlen(html) AS n_bytes
             FROM pages ORDER BY url
+        """,
+        "fix_mojibake": """
+            SELECT doc_id,
+                   (doc_id % 3 = 0) AS was_mojibake,
+                   md5(text || CASE doc_id % 3
+                                 WHEN 0 THEN ' café déjà vu'
+                                 WHEN 2 THEN ' naïve'
+                                 ELSE '' END) AS fixed_md5
+            FROM documents ORDER BY doc_id
         """,
         "robots_admission": """
             WITH u AS (

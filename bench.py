@@ -117,7 +117,10 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "extract_links", "link_graph", "crawl_directives",
              "strip_dup_paragraphs",
              "pagerank_hosts", "anchor_text_index",
-             "best_representatives", "corpus_clean_best"]
+             "best_representatives", "corpus_clean_best",
+             # round 3c: crawl sources + LM quality filter
+             "warc_ingest", "lm_doc_scores", "robots_admission",
+             "fix_mojibake"]
     qmap = entry.queries()
     out = {}
     for name in names:

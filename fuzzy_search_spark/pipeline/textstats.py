@@ -398,3 +398,32 @@ def strip_duplicate_paragraphs(df: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+
+
+def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Detect and repair the dominant web mojibake class: UTF-8 bytes that
+    were decoded once as Latin-1 ("café" -> "cafÃ©"), the ftfy core
+    heuristic.  A string is repaired iff (a) every char is <= U+00FF (so
+    a single Latin-1 re-encode is lossless and cannot throw under Spark
+    4's strict codecs), (b) the re-encoded bytes are VALID UTF-8
+    (``is_valid_utf8``), and (c) decoding them changes — and therefore
+    strictly shortens — the string.  Genuine Latin-1 text ("naïve") fails
+    (b) and passes through untouched; text with chars beyond Latin-1
+    fails (a).  Pure column algebra, one projection, no shuffle.
+
+    Returns ``(id, was_mojibake, text_fixed)``."""
+    t = F.col(text_col)
+    latin1_only = t.rlike("^[\\x00-\\u00FF]*$")
+    lat = F.encode(t, "ISO-8859-1")
+    cand = F.when(latin1_only,
+                  F.when(F.expr(f"is_valid_utf8(encode({text_col}, "
+                                "'ISO-8859-1'))"),
+                         F.decode(lat, "UTF-8")).otherwise(t)
+                  ).otherwise(t)
+    fixed = F.when((cand != t) & (F.length(cand) < F.length(t)), cand) \
+        .otherwise(t)
+    return df.select(
+        F.col(id_col),
+        (fixed != t).alias("was_mojibake"),
+        fixed.alias("text_fixed"))

@@ -607,3 +607,45 @@ def test_lm_backoff_seen_unigram_path(spark):
     exp = (round(math.log10(1 / 2) * 1e6)           # (<s> a): 1/2 docs
            + round(math.log10(0.4 * 2 / 8) * 1e6))  # backoff for c
     assert out.sum_logp_micro == exp
+
+
+def test_lm_plan_shape(spark):
+    """LM training + scoring stays JVM-side: zero SortAggregates (numeric
+    agg buffers), no Python stage, and no per-doc Window — pair
+    construction is zip_with over shifted slices."""
+    from fuzzy_search_spark.pipeline.lm import (score_documents,
+                                                train_bigram_lm)
+
+    docs = _docs(spark)
+    uni, big, tot = train_bigram_lm(docs)
+    out = score_documents(docs, uni, big, tot)
+    plan = _plan(out)
+    assert "SortAggregate" not in plan
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
+def test_fix_mojibake_crafted(spark):
+    """Repairs UTF-8-as-Latin-1, leaves ASCII, genuine Latin-1, and
+    beyond-Latin-1 text untouched; double-checks the no-shuffle shape."""
+    from fuzzy_search_spark.pipeline.textstats import fix_mojibake
+
+    moji = "café déjà".encode("utf-8").decode("latin-1")  # 'cafÃ© dÃ©jÃ\xa0'
+    df = spark.createDataFrame([
+        (0, "plain ascii"),
+        (1, "x " + moji),
+        (2, "naïve reälly"),       # real Latin-1: invalid as UTF-8 bytes
+        (3, "euro € beyond"),      # > U+00FF: not re-encodable, untouched
+        (4, ""),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert (out[0].was_mojibake, out[0].text_fixed) == (False, "plain ascii")
+    assert (out[1].was_mojibake, out[1].text_fixed) == (True, "x café déjà")
+    assert (out[2].was_mojibake, out[2].text_fixed) == (False,
+                                                        "naïve reälly")
+    assert (out[3].was_mojibake, out[3].text_fixed) == (False,
+                                                        "euro € beyond")
+    assert (out[4].was_mojibake, out[4].text_fixed) == (False, "")
+
+    plan = _plan(fix_mojibake(df))
+    assert "Exchange" not in plan and "Python" not in plan
