@@ -144,3 +144,44 @@ def test_spark_synth_and_read_warc(spark):
     plan = pages._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
+
+
+def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
+    """availableNow readStream(binaryFile) -> read_warc emits exactly the
+    batch rows: the WARC scan is a stateless mapInPandas, so the streaming
+    plan IS the batch plan under incremental file discovery."""
+    from datetime import datetime, timedelta
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    expect = {}
+    for f in range(3):
+        recs = []
+        for i in range(5):
+            doc = f * 5 + i
+            payload = b"<html><body><p>doc %d</p></body></html>" % doc
+            url = f"https://example.org/{doc}"
+            recs.append(_resp(url, doc, payload))
+            expect[url] = payload
+        (warc_dir / f"part-{f}.warc.gz").write_bytes(build_warc(recs))
+
+    stream = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .load(str(warc_dir)))
+    q = (read_warc(stream)
+         .writeStream.format("memory").queryName("warc_pages")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT url, warc_ts, html FROM warc_pages").collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert bytes(r.html) == expect[r.url]
+        doc = int(r.url.rsplit("/", 1)[1])
+        assert r.warc_ts == datetime(2020, 1, 1) + timedelta(seconds=doc)
+
+    # batch read over the same directory byte-equals the streamed rows
+    batch = (spark.read.format("binaryFile").load(str(warc_dir)))
+    brows = read_warc(batch).select("url", "html").collect()
+    assert {r.url: bytes(r.html) for r in brows} == expect
