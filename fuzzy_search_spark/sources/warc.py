@@ -324,3 +324,17 @@ def synth_warc_files(docs_df, n_files: int = 8, gzip_members: bool = True,
         "warc_file", F.col(id_col) % n_files)
     return tagged.groupBy("warc_file").applyInPandas(
         build, "path string, content binary")
+
+
+def extract_sniffed(payload) -> str:
+    """Charset-sniffing payload->text extractor for the match job
+    (``run_extraction_job(..., table_format="warc",
+    extractor=extract_sniffed)``): decodes via BOM/meta detection before
+    the HTML strip, instead of extract_html's plain UTF-8.  Top-level and
+    deterministic, so it ships to executors and composes with the job's
+    resume fingerprint."""
+    from fuzzy_search_spark.extract import extract_html
+
+    if payload is None:
+        return ""
+    return extract_html(decode_payload(bytes(payload)))

@@ -56,7 +56,22 @@ def read_pages(spark: SparkSession, input_path: str,
       session carries the Iceberg catalog config; the plan shape
       (scan -> narrow map -> write) is identical, plus snapshot-based
       incremental reads become available upstream of this function.
+    - ``warc``: a directory of raw WARC/1.0 archives (Common Crawl
+      layout, member-gzip or plain), parsed distributed by
+      :func:`fuzzy_search_spark.sources.warc.read_warc` — one file per
+      partition, shuffle-free.  ``text`` comes back NULL so the match
+      stage extracts from ``html`` in the same pass (pair with
+      ``extractor=sources.warc.extract_sniffed`` for charset-sniffed
+      decoding instead of plain UTF-8).
     """
+    if table_format == "warc":
+        from fuzzy_search_spark.sources.warc import read_warc
+
+        files = spark.read.format("binaryFile").load(input_path)
+        return read_warc(files).select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"))
     if table_format == "iceberg":
         try:
             if "/" in input_path:
@@ -214,6 +229,9 @@ def match_documents(df: DataFrame, model: CompiledModel,
                     out["char_match"].append(m.char_match)
                     out["ngram_match"].append(m.ngram_match)
                     out["levenshtein_similarity"].append(m.levenshtein_similarity)
+            if not out["url"]:
+                continue  # pandas 2.x types empty frames float64, which
+                # Arrow cannot convert to the list<string> label column
             yield pd.DataFrame(out)
         if metrics_acc is not None:
             ctx = TaskContext.get()
@@ -266,6 +284,8 @@ def match_documents_tokens(df: DataFrame, token_model,
                     out["ngram_match"].append(m.ngram_match)
                     out["levenshtein_similarity"].append(
                         m.levenshtein_similarity)
+            if not out["url"]:
+                continue  # see match_documents: empty-frame dtype trap
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(process, MATCH_SCHEMA)

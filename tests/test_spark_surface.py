@@ -701,3 +701,20 @@ def test_video_and_audio_plumbing(spark):
     assert clips["a1"].sample_rate == 16000
     assert clips["a1"].zero_crossings == 199
     assert clips["a2"].n_samples == 1024 and 0.0 < clips["a2"].rms < 1.0
+
+
+def test_match_documents_matchless_batch(spark):
+    """A batch that produces ZERO matches must yield cleanly: pandas 2.x
+    types empty frames float64 and Arrow cannot convert that to the
+    list<string> label column (regression: crashed before the WARC e2e
+    job exposed it)."""
+    from fuzzy_search_spark.spark.job import match_documents
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    docs = spark.createDataFrame(
+        [(f"u{i}", "zzz qqq xxx nothing matches here") for i in range(8)]
+        + [("u-empty", None)],
+        "url string, text string")
+    out = match_documents(docs, model)
+    assert out.count() == 0
+    assert out.schema["label"].dataType.simpleString() == "array<string>"

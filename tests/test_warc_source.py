@@ -185,3 +185,41 @@ def test_streaming_warc_ingest_equals_batch(spark, tmp_path):
     batch = (spark.read.format("binaryFile").load(str(warc_dir)))
     brows = read_warc(batch).select("url", "html").collect()
     assert {r.url: bytes(r.html) for r in brows} == expect
+
+
+def test_extraction_job_over_warc_equals_parquet(spark, tmp_path):
+    """run_extraction_job(table_format='warc') over real WARC archives
+    produces exactly the matches of the parquet web-pages path: the
+    fixture guarantees extract_html(html) == text, and the WARC branch
+    feeds NULL text so extraction happens in the match pass."""
+    from fuzzy_search_spark.fixtures import (README_CONFIG, README_MODEL,
+                                             write_web_pages_parquet)
+    from fuzzy_search_spark.model import compile_model
+    from fuzzy_search_spark.spark.job import run_extraction_job
+
+    pages_path = str(tmp_path / "web_pages.parquet")
+    write_web_pages_parquet(pages_path, n_bulk=40, tail_docs_per_1k=0)
+    pages = spark.read.parquet(pages_path).collect()
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    for f in range(3):
+        recs = [build_warc_record("response", r.url, r.warc_ts,
+                                  bytes(r.html))
+                for i, r in enumerate(pages) if i % 3 == f]
+        (warc_dir / f"crawl-{f}.warc.gz").write_bytes(build_warc(recs))
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    out_w = str(tmp_path / "out_warc")
+    out_p = str(tmp_path / "out_parquet")
+    s_w = run_extraction_job(spark, str(warc_dir), out_w, model,
+                             num_groups=2, table_format="warc")
+    s_p = run_extraction_job(spark, pages_path, out_p, model, num_groups=2)
+    assert s_w["docs"] == s_p["docs"] > 0
+    assert s_w["matches"] == s_p["matches"] > 0
+
+    got_w = sorted(map(str, spark.read.parquet(
+        f"{out_w}/matches/group=*").collect()))
+    got_p = sorted(map(str, spark.read.parquet(
+        f"{out_p}/matches/group=*").collect()))
+    assert got_w == got_p
