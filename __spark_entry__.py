@@ -425,6 +425,19 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MOJI_SUFFIX = "café déjà vu".encode("utf-8").decode("latin-1")
 
 
+def q_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-host crawl-budget cap (md5-rank selection) over
+    the synthetic 10-host URL layout; cap chosen so both kept and dropped
+    rows exist at every scale."""
+    from fuzzy_search_spark.pipeline.urls import host_page_cap
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id", _page_url(F.col("doc_id")).alias("url"))
+    return (host_page_cap(urls, max_pages_per_host=30)
+            .orderBy("doc_id"))
+
+
 def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake repair over a synthetically corrupted corpus: one third of
     docs get a UTF-8-seen-as-Latin-1 suffix (repaired), one third stay
@@ -1148,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": q_lm_doc_scores,
         "robots_admission": q_robots_admission,
         "fix_mojibake": q_fix_mojibake,
+        "host_page_cap": q_host_page_cap,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2280,6 +2294,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, http_status, content_type,
                    md5(html) AS html_md5, strlen(html) AS n_bytes
             FROM pages ORDER BY url
+        """,
+        "host_page_cap": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://host' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     'host' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                       AS host
+              FROM documents
+            ), r AS (
+              SELECT doc_id, url, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY md5(url), url)
+                       AS host_rank
+              FROM u
+            )
+            SELECT doc_id, url, host, host_rank,
+                   host_rank <= 30 AS kept
+            FROM r ORDER BY doc_id
         """,
         "fix_mojibake": """
             SELECT doc_id,

@@ -65,3 +65,39 @@ def url_dup_groups(df: DataFrame, id_col: str = "doc_id",
              F.count(F.lit(1)).alias("n_pages"))
         .filter(F.col("n_pages") >= min_pages)
     )
+
+
+def host_page_cap(df: DataFrame, max_pages_per_host: int = 1000,
+                  id_col: str = "doc_id",
+                  url_col: str = "url") -> DataFrame:
+    """Crawl-budget enforcement: keep at most ``max_pages_per_host`` pages
+    per host, selected DETERMINISTICALLY by md5(url) rank (unbiased w.r.t.
+    crawl order, stable under retries / repartitioning / re-runs — the
+    same properties as the stratified sampler in ``mixing.py``, which a
+    ``LIMIT``-per-group or ``sample()`` would not have).
+
+    SEO-heavy hosts contribute millions of near-template pages; capping
+    per host is the standard pre-dedup volume gate (C4/RefinedWeb keep
+    host caps for exactly this).  Returns
+    ``(id, url, host, host_rank, kept)`` — callers filter ``kept`` but
+    the full ranking is returned so the drop set is auditable.
+
+    Scale shape: one shuffle on host; the per-host window is the point
+    (rank IS the semantics).  Mega-hosts make a hot partition — at crawl
+    scale pre-aggregate with the two-phase variant: filter hosts with
+    count <= cap map-side first (they need no ranking), then window only
+    the heavy tail.  That pre-filter is a one-line groupBy join; the
+    windowed tail is bounded by #heavy-hosts * cap after AQE skew-split.
+    """
+    from pyspark.sql import Window
+
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 2))
+    ranked = df.select(
+        F.col(id_col), F.col(url_col), host.alias("host"),
+        F.md5(F.col(url_col)).alias("_ord"))
+    w = Window.partitionBy("host").orderBy("_ord", url_col)
+    return (ranked
+            .withColumn("host_rank", F.row_number().over(w))
+            .select(id_col, url_col, "host", "host_rank",
+                    (F.col("host_rank") <= max_pages_per_host)
+                    .alias("kept")))

@@ -649,3 +649,30 @@ def test_fix_mojibake_crafted(spark):
 
     plan = _plan(fix_mojibake(df))
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_host_page_cap_deterministic(spark):
+    """Per-host cap keeps exactly k pages per host, selection is a pure
+    function of the url set (stable across repartitioning), and every
+    input row survives with an auditable rank."""
+    from fuzzy_search_spark.pipeline.urls import host_page_cap
+
+    urls = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.com/page/{i}") for i in range(30)],
+        "doc_id long, url string")
+    out = host_page_cap(urls, max_pages_per_host=4)
+    rows = out.collect()
+    assert len(rows) == 30
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, members in by_host.items():
+        assert sum(m.kept for m in members) == 4
+        assert sorted(m.host_rank for m in members) == \
+            list(range(1, len(members) + 1))
+
+    # repartitioned input selects the SAME pages
+    again = host_page_cap(urls.repartition(7), max_pages_per_host=4)
+    kept1 = {r.doc_id for r in rows if r.kept}
+    kept2 = {r.doc_id for r in again.collect() if r.kept}
+    assert kept1 == kept2
