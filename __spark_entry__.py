@@ -960,13 +960,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash compare like minhash_signatures)."""
     from fuzzy_search_spark.pipeline.ann import quantize_embeddings_int8
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # sort the SCAN, then project: orderBy after the projection would
+    # evaluate the interpreted quantize tree twice (range-boundary
+    # sampling pass + sort pass)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .orderBy("vec_id")
     out = quantize_embeddings_int8(emb)
-    return (out.select("vec_id", "scale",
-                       F.concat_ws(",", F.col("qvec").cast("array<string>"))
-                       .alias("qvec_joined"),
-                       "recon_cosine")
-            .orderBy("vec_id"))
+    return out.select("vec_id", "scale",
+                      F.concat_ws(",", F.col("qvec").cast("array<string>"))
+                      .alias("qvec_joined"),
+                      "recon_cosine")
 
 
 def q_ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:

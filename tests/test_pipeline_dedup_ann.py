@@ -559,3 +559,27 @@ def test_quantize_embeddings_int8(spark):
     plan = (quantize_embeddings_int8(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_quantize_engines_agree(spark):
+    """The vectorized Arrow engine reproduces the JVM column-algebra
+    engine exactly on codes, scale, and rounded cosine: elementwise ops
+    are identical IEEE float64 and sums accumulate left-to-right (cumsum,
+    not numpy's pairwise sum)."""
+    import random
+
+    from fuzzy_search_spark.pipeline.ann import quantize_embeddings_int8
+
+    rng = random.Random(99)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(17)])
+            for i in range(200)]
+    rows.append((9000, [0.0] * 17))                      # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    jvm = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    arw = {r.vec_id: r for r in
+           quantize_embeddings_int8(df, engine="arrow").collect()}
+    assert set(jvm) == set(arw)
+    for k in jvm:
+        assert jvm[k].qvec == arw[k].qvec
+        assert jvm[k].scale == arw[k].scale
+        assert jvm[k].recon_cosine == arw[k].recon_cosine
