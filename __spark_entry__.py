@@ -425,6 +425,28 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MOJI_SUFFIX = "café déjà vu".encode("utf-8").decode("latin-1")
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over deterministically decomposed text:
+    one third gets a combining-acute suffix, one third a combining-ring,
+    one third stays ASCII.  The oracle runs DuckDB's own nfc_normalize,
+    so both engines' real Unicode tables are compared."""
+    from fuzzy_search_spark.pipeline.textstats import normalize_nfc
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 3
+    suffixed = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(m == 0, F.lit(" café"))
+                 .when(m == 2, F.lit(" ÅB"))
+                 .otherwise(F.lit(""))).alias("text"))
+    out = normalize_nfc(suffixed)
+    return (out.select("doc_id", "changed",
+                       F.md5(F.encode("text_nfc", "UTF-8"))
+                       .alias("nfc_md5"))
+            .orderBy("doc_id"))
+
+
 def q_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-host crawl-budget cap (md5-rank selection) over
     the synthetic 10-host URL layout; cap chosen so both kept and dropped
@@ -1165,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_admission": q_robots_admission,
         "fix_mojibake": q_fix_mojibake,
         "host_page_cap": q_host_page_cap,
+        "normalize_nfc": q_normalize_nfc,
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "mixture_plan": q_mixture_plan,
         "corpus_sample": q_corpus_sample,
@@ -2297,6 +2320,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, http_status, content_type,
                    md5(html) AS html_md5, strlen(html) AS n_bytes
             FROM pages ORDER BY url
+        """,
+        "normalize_nfc": """
+            SELECT doc_id,
+                   (doc_id % 3 <> 1) AS changed,
+                   md5(nfc_normalize(text || CASE doc_id % 3
+                         WHEN 0 THEN ' café'
+                         WHEN 2 THEN ' ÅB'
+                         ELSE '' END)) AS nfc_md5
+            FROM documents ORDER BY doc_id
         """,
         "host_page_cap": """
             WITH u AS (

@@ -4,6 +4,8 @@ document fingerprinting.  All JVM-side column expressions (no Python UDFs).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -427,3 +429,41 @@ def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         (fixed != t).alias("was_mojibake"),
         fixed.alias("text_fixed"))
+
+
+NFC_SCHEMA = "doc_id long, changed boolean, text_nfc string"
+
+
+def normalize_nfc(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization — the canonical-equivalence collapse
+    every hash-keyed stage (exact dedup, paragraph dedup, URL keys,
+    decontamination) needs: "café" composed and "cafe" + U+0301 are the
+    same text but different bytes, so without NFC they hash apart and
+    duplicates survive.
+
+    Spark has no built-in Unicode-normalization expression, so this is an
+    Arrow-batched mapInPandas over ``unicodedata`` (the one stdlib NFC);
+    it stays a narrow map — no shuffle — and the per-row cost is a table
+    lookup pass.  Returns ``(id, changed, text_nfc)``; ``changed`` makes
+    the op auditable (fraction of non-NFC docs is a corpus-quality
+    signal).  DuckDB's ``nfc_normalize`` implements the same Unicode
+    algorithm, so the driver oracle checks real normalization output,
+    not a synthetic stand-in."""
+    import unicodedata
+
+    import pandas as pd
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            nfc = texts.map(
+                lambda s: unicodedata.normalize("NFC", s)
+                if s is not None else None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "changed": nfc.ne(texts) & texts.notna(),
+                "text_nfc": nfc,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(process, NFC_SCHEMA)

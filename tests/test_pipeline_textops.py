@@ -676,3 +676,25 @@ def test_host_page_cap_deterministic(spark):
     kept1 = {r.doc_id for r in rows if r.kept}
     kept2 = {r.doc_id for r in again.collect() if r.kept}
     assert kept1 == kept2
+
+
+def test_normalize_nfc_crafted(spark):
+    """NFC collapses canonical equivalents (decomposed accents, singleton
+    Angstrom) so hash-keyed dedup sees one byte form; ASCII and None pass
+    through; compatibility forms (ligatures) are NOT touched (NFC, not
+    NFKC)."""
+    from fuzzy_search_spark.pipeline.textstats import normalize_nfc
+
+    df = spark.createDataFrame([
+        (0, "plain"),
+        (1, "cafe\u0301"),       # e + combining acute -> \u00e9
+        (2, "\u212b"),           # Angstrom sign -> \u00c5 (singleton)
+        (3, "\ufb01n"),          # ligature fi: unchanged under NFC
+        (4, None),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_nfc(df).collect()}
+    assert (out[0].changed, out[0].text_nfc) == (False, "plain")
+    assert (out[1].changed, out[1].text_nfc) == (True, "caf\u00e9")
+    assert (out[2].changed, out[2].text_nfc) == (True, "\u00c5")
+    assert (out[3].changed, out[3].text_nfc) == (False, "\ufb01n")
+    assert (out[4].changed, out[4].text_nfc) == (False, None)
