@@ -518,6 +518,30 @@ def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.join(bot, "url").orderBy("url")
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sink round-trip: extracted text -> WARC 'conversion' records
+    (member-gzip, md5-balanced file assignment) -> parse back.  Every
+    output field is SQL-reconstructable, so the oracle checks the whole
+    serialize->gzip->parse path including the file-assignment hash."""
+    from fuzzy_search_spark.sources.warc import read_wet, write_wet
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr("TIMESTAMP '2020-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, 0, 0, doc_id)")
+        .alias("warc_ts"),
+        F.coalesce("text", F.lit("")).alias("text"))
+    back = read_wet(write_wet(pages, n_files=8))
+    return (back.select(
+        "wet_file", "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .alias("warc_date"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+        .orderBy("url"))
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: Stupid-Backoff bigram LM trained on
     the even-doc half of the corpus, scoring every document.  Per-token
@@ -1184,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_directives": q_crawl_directives,
         "warc_ingest": q_warc_ingest,
         "lm_doc_scores": q_lm_doc_scores,
+        "wet_roundtrip": q_wet_roundtrip,
         "robots_admission": q_robots_admission,
         "fix_mojibake": q_fix_mojibake,
         "host_page_cap": q_host_page_cap,
@@ -2382,6 +2407,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN kind = 'q' THEN (doc_id % 10) <> 7
                         ELSE true END AS allowed_bot
             FROM u ORDER BY url
+        """,
+        "wet_roundtrip": """
+            SELECT 'part-' || lpad(CAST(
+                     CAST('0x' || substr(md5('https://example.org/'
+                            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 8 AS VARCHAR), 5, '0') || '.warc.wet.gz'
+                     AS wet_file,
+                   'https://example.org/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   strftime(TIMESTAMP '2020-01-01 00:00:00'
+                            + to_seconds(doc_id),
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   md5(coalesce(text, '')) AS text_md5
+            FROM documents ORDER BY url
         """,
         "lm_doc_scores": r"""
             WITH tr AS (

@@ -338,3 +338,71 @@ def extract_sniffed(payload) -> str:
     if payload is None:
         return ""
     return extract_html(decode_payload(bytes(payload)))
+
+
+WET_FILES_DDL = "path string, content binary"
+
+
+def write_wet(pages_df, n_files: int = 8, gzip_members: bool = True,
+              url_col: str = "url", ts_col: str = "warc_ts",
+              text_col: str = "text"):
+    """WET sink: serialize extracted page text as WARC ``conversion``
+    records (the Common Crawl WET layout — one text/plain record per
+    page, grouped into member-gzip files).  The output of the extraction
+    stage becomes a crawl-native artifact that any WET consumer (or
+    :func:`iter_warc` itself) can read back — source and sink speak the
+    same byte format, so round-trips are testable.
+
+    One applyInPandas group per output file (file id = md5-uniform hash
+    of the url, so file sizes balance regardless of url distribution);
+    records within a file are ordered by url for deterministic bytes.
+    Returns ``(path, content)`` rows — the caller persists them (e.g.
+    ``foreachPartition`` to object storage) or feeds them straight back
+    into :func:`read_warc`-style consumers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(url_col)
+        recs = []
+        for url, ts, text in zip(pdf[url_col], pdf[ts_col], pdf[text_col]):
+            ts_py = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") \
+                else ts
+            recs.append(build_warc_record(
+                "conversion", url, ts_py, (text or "").encode("utf-8"),
+                http_content_type="text/plain"))
+        fid = int(pdf["_wet_file"].iloc[0])
+        suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+        return pd.DataFrame({
+            "path": [f"part-{fid:05d}{suffix}"],
+            "content": [build_warc(recs, gzip_members=gzip_members)],
+        })
+
+    tagged = pages_df.select(url_col, ts_col, text_col).withColumn(
+        "_wet_file",
+        F.pmod(F.conv(F.substring(F.md5(F.col(url_col)), 1, 15), 16, 10)
+               .cast("long"), F.lit(n_files)))
+    return tagged.groupBy("_wet_file").applyInPandas(build, WET_FILES_DDL)
+
+
+def read_wet(files_df, path_col: str = "path", content_col: str = "content"):
+    """Distributed WET scan: one row per ``conversion`` record, text
+    decoded as UTF-8.  Same shuffle-free shape as :func:`read_warc`."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                for rec in iter_warc(bytes(blob)):
+                    if rec.record_type != "conversion":
+                        continue
+                    rows.append((path, rec.url, rec.date,
+                                 rec.payload.decode("utf-8",
+                                                    errors="replace")))
+            yield pd.DataFrame(rows, columns=["wet_file", "url",
+                                              "warc_ts", "text"])
+
+    return files_df.select(path_col, content_col).mapInPandas(
+        parse, "wet_file string, url string, warc_ts timestamp, "
+               "text string")
