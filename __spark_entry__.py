@@ -809,6 +809,26 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode end-to-end: encode a valid animated GIF89a per
+    document (frame i = 16x16 grayscale raster of sha256(text|gi)
+    repeated; grayscale palette maps index k to (k,k,k)), ship it as a
+    binary column, frame-sample it with the stdlib LZW decoder, extract
+    per-frame features.  Oracle-checkable from sha256 alone."""
+    from fuzzy_search_spark.pipeline.multimodal import (
+        synth_gif_payload,
+        video_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 5)
+    feats = video_frame_features(synth_gif_payload(docs, n_frames=3),
+                                 n_frames=3)
+    return feats.select(
+        "url", "n_frames", "frame_index", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+    ).orderBy("url", "frame_index")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode end-to-end: encode a valid 16-bit mono WAV per
     document (PCM = sha256(text) repeated as LE int16), decode it with
@@ -1235,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "image_features": q_image_features,
         "video_frame_features": q_video_frame_features,
+        "gif_frame_features": q_gif_frame_features,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2614,6 +2635,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CAST(f AS INT) AS f,
                      sha256(text || '|' || CAST(f AS VARCHAR)) AS sha
+              FROM docs, (SELECT unnest(generate_series(0, 2)) AS f)
+            ), bytes AS (
+              SELECT doc_id, f,
+                     CAST('0x' || substr(sha, 1 + 2*j, 2) AS INT) AS b
+              FROM fr, (SELECT unnest(generate_series(0, 31)) AS j)
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   3 AS n_frames, f AS frame_index,
+                   16 AS height, 16 AS width,
+                   round(avg(b), 6) AS mean_r
+            FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        # GIF frames: frame i is a grayscale raster of sha256(text|gi)
+        # repeated; palette maps index k -> (k,k,k), so the decoded
+        # channel mean equals the digest-byte mean
+        "gif_frame_features": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5
+            ), fr AS (
+              SELECT doc_id,
+                     CAST(f AS INT) AS f,
+                     sha256(text || '|g' || CAST(f AS VARCHAR)) AS sha
               FROM docs, (SELECT unnest(generate_series(0, 2)) AS f)
             ), bytes AS (
               SELECT doc_id, f,

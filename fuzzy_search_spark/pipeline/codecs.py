@@ -324,3 +324,243 @@ def decode_apng(data: bytes):
             raise ValueError(f"APNG frame inflate failed: {exc}") from exc
         out.append(_unfilter(raw, h, w, 3))
     return out
+
+
+# ---------------------------------------------------------------------------
+# GIF (stdlib-only: GIF87a/89a LZW, interlace, multi-frame animation)
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first
+    bit packing), CLEAR resets the table, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = fresh()
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:                      # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode`; resets the table at 4096 codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    buf = b""
+    for b in indices:
+        nxt = buf + bytes([b])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf], code_size)
+        table[nxt] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code > 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(frames, delay_cs: int = 10) -> bytes:
+    """Minimal deterministic GIF89a writer: grayscale frames (HxW uint8,
+    value = palette index = gray level), global 256-gray palette, one
+    full-size non-interlaced image per frame, draw-over disposal.
+    Multi-frame input gets a NETSCAPE loop block (an animated GIF any
+    consumer plays)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])            # global table: 256 entries
+    out += _GIF_GRAY_PALETTE
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) \
+                + b"\x00\x00"             # GCE: draw-over, delay, no transp
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])                 # LZW min code size
+        lzw = _lzw_encode(8, f.reshape(-1).tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes):
+    """Decode GIF87a/89a to a list of HxWx3 uint8 RGB frames.
+
+    Handles global/local palettes, interlace, transparency, and the
+    draw-over / restore-background disposal modes — the cases real web
+    GIFs use.  Raises ValueError on ANY malformed input (callers skip):
+    truncation surfaces as IndexError/struct.error internally and is
+    converted, so a crawl's garbage-with-GIF-magic rows cost rows,
+    never tasks."""
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF: {exc}") from None
+
+
+_GIF_MAX_PIXELS = 64_000_000  # reject absurd dims before allocating
+
+
+def _decode_gif(data: bytes):
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    if w == 0 or h == 0 or w * h > _GIF_MAX_PIXELS:
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
+    flags, bg = data[10], data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames = []
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                 # trailer
+            break
+        if block == 0x21:                 # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = data[pos + 4] if gflags & 1 else None
+            while data[pos]:              # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", data[pos:pos + 8])
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame rect outside canvas")
+        iflags = data[pos + 8]
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a palette")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            size = data[pos]
+            lzw += data[pos + 1:pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(min_code, bytes(lzw)),
+                            dtype=np.uint8)
+        if len(idx) < fw * fh:
+            raise ValueError("truncated GIF image data")
+        idx = idx[:fw * fh].reshape(fh, fw)
+        if iflags & 0x40:                 # interlace: reorder rows
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, fh, step)
+                for r in rows:
+                    de[r] = idx[src]
+                    src += 1
+            idx = de
+        region = canvas[top:top + fh, left:left + fw]
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:                 # restore background in rect
+            if gct is not None and bg < len(gct):
+                canvas[top:top + fh, left:left + fw] = gct[bg]
+            else:
+                canvas[top:top + fh, left:left + fw] = 0
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return frames

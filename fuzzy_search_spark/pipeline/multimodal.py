@@ -1,11 +1,12 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-PNG and WAV payloads decode FOR REAL via the stdlib-only codecs in
-:mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
-unfilter; RIFF struct parse).  Only the formats that genuinely need
-external codec libraries — JPEG/GIF images and video containers — remain
-STUBS with a deterministic fake behind ``FAKE_DECODE=True`` (and
+PNG, GIF (incl. animated) and WAV payloads decode FOR REAL via the
+stdlib-only codecs in :mod:`fuzzy_search_spark.pipeline.codecs` (zlib
+inflate + scanline unfilter; LZW + palette; RIFF struct parse).  Only
+the formats that genuinely need external codec libraries — JPEG images
+and real video containers (mp4/webm) — remain STUBS with a
+deterministic fake behind ``FAKE_DECODE=True`` (and
 ``NotImplementedError`` otherwise).  The Spark-side plumbing is identical
 either way: schemas, batch iteration, UDF signatures, partition-level
 batching, and raw-byte metadata (magic sniffing, sizes, content hashes).
@@ -26,6 +27,7 @@ from pyspark.sql import types as T
 from fuzzy_search_spark.pipeline.codecs import (
     PNG_SIGNATURE,
     decode_apng,
+    decode_gif,
     decode_png,
     decode_wav,
     encode_apng,
@@ -35,9 +37,9 @@ from fuzzy_search_spark.pipeline.codecs import (
     to_rgb,
 )
 
-#: governs only the formats with no stdlib codec (JPEG/GIF/video): flip to
-#: False to surface NotImplementedError where a real codec belongs.  PNG
-#: and WAV always decode for real.
+#: governs only the formats with no stdlib codec (JPEG/mp4/webm): flip to
+#: False to surface NotImplementedError where a real codec belongs.  PNG,
+#: GIF and WAV always decode for real.
 FAKE_DECODE = True
 
 _MAGIC = [
@@ -133,16 +135,19 @@ def _fake_thumbnail(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    PNG decodes FOR REAL (codecs.decode_png: stdlib zlib inflate +
-    scanline unfilter; gray/palette/alpha normalized to RGB).  JPEG/GIF
-    need an external codec (Pillow/cv2), absent in this environment —
-    they fall back to the deterministic fake under ``FAKE_DECODE`` and
-    raise NotImplementedError otherwise.  Anything else raises ValueError
+    PNG and GIF decode FOR REAL (codecs.decode_png: stdlib zlib inflate +
+    scanline unfilter, gray/palette/alpha normalized to RGB;
+    codecs.decode_gif: LZW + palette + interlace, first frame).  JPEG
+    needs an external codec (Pillow/cv2), absent in this environment —
+    it falls back to the deterministic fake under ``FAKE_DECODE`` and
+    raises NotImplementedError otherwise.  Anything else raises ValueError
     (callers skip undecodable rows)."""
     mtype = sniff_media_type(payload)
     if mtype == "image/png":
         return to_rgb(decode_png(bytes(payload)))
-    if mtype in ("image/jpeg", "image/gif"):
+    if mtype == "image/gif":
+        return decode_gif(bytes(payload))[0]
+    if mtype == "image/jpeg":
         if not FAKE_DECODE:
             raise NotImplementedError(
                 f"no stdlib codec for {mtype}; install Pillow/cv2")
@@ -153,14 +158,17 @@ def _decode_image(payload: bytes) -> np.ndarray:
 def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
     """Frame sampler for animation/video payloads.
 
-    APNG decodes FOR REAL (codecs.decode_apng — the one video-like
-    format the stdlib can handle); the first ``n_frames`` frames are
-    returned.  Real video containers (mp4/webm) need external codecs and
-    keep the deterministic fake (per-frame sha256 thumbnails) behind
+    APNG and animated GIF decode FOR REAL (codecs.decode_apng /
+    codecs.decode_gif — the two animation formats the stdlib can
+    handle); the first ``n_frames`` frames are returned.  Real video
+    containers (mp4/webm) need external codecs and keep the
+    deterministic fake (per-frame sha256 thumbnails) behind
     ``FAKE_DECODE``."""
     data = bytes(payload)
     if data.startswith(PNG_SIGNATURE) and is_apng(data):
         return decode_apng(data)[:n_frames]
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)[:n_frames]
     if not FAKE_DECODE:
         raise NotImplementedError("video codec not available in this env")
     return [_fake_thumbnail(data + bytes([i])) for i in range(n_frames)]
@@ -181,8 +189,9 @@ def image_features(df: DataFrame, url_col: str = "url",
                    embedding_dim: int = 16) -> DataFrame:
     """Decode -> feature-extract over image payloads.
 
-    PNG decodes for real (stdlib inflate + unfilter); JPEG/GIF use the
-    documented fake.  Undecodable payloads are skipped (a 100-TB crawl
+    PNG and GIF decode for real (stdlib inflate + unfilter; LZW +
+    palette); JPEG uses the documented fake.  Undecodable payloads are
+    skipped (a 100-TB crawl
     always contains corrupt bytes; one bad row must not kill a task).
     The plumbing mirrors a production pipeline: one Arrow batch in, one
     feature frame out, NumPy work vectorized per batch; the embedding is
@@ -405,6 +414,35 @@ def synth_wav_payload(df: DataFrame, id_col: str = "doc_id",
                                     dtype="<i2")
                 urls.append(str(doc_id))
                 payloads.append(encode_wav(raw, sample_rate))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_gif_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_frames: int = 3) -> DataFrame:
+    """(url, payload): a VALID animated GIF89a per row — frame ``i`` is a
+    16x16 grayscale raster whose pixel stream is sha256(text + '|g' + i)
+    repeated (8x32 = 256 bytes).  The grayscale palette maps index k to
+    RGB (k, k, k), so every decoded channel mean equals the digest-byte
+    mean — oracle-computable from sha256 alone, exactly like the PNG and
+    APNG cases."""
+    from fuzzy_search_spark.pipeline.codecs import encode_gif
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                frames = []
+                for i in range(n_frames):
+                    digest = hashlib.sha256(
+                        f"{text or ''}|g{i}".encode("utf-8")).digest()
+                    frames.append(np.frombuffer(
+                        (digest * 8)[:256], dtype=np.uint8).reshape(16, 16))
+                urls.append(str(doc_id))
+                payloads.append(encode_gif(frames))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

@@ -350,3 +350,117 @@ def test_unfilter_sub_cumsum_matches_sequential():
                     cur[x] = (int(line[x]) + a) & 0xFF
         got = _unfilter(bytes(raw), h, w, ch)
         assert np.array_equal(got.reshape(h, stride), ref), (trial, h, w, ch)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW + palette + interlace + animation)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_exhaustive():
+    import random
+
+    from fuzzy_search_spark.pipeline.codecs import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    for n in (0, 1, 255, 4096, 30000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert _lzw_decode(8, _lzw_encode(8, data)) == data
+    # long runs force table growth past 12-bit width -> CLEAR resets
+    runs = b"".join(bytes([i % 4]) * 700 for i in range(80))
+    assert _lzw_decode(8, _lzw_encode(8, runs)) == runs
+    # small min-code-size (bilevel images)
+    bits = bytes([i % 2 for i in range(5000)])
+    assert _lzw_decode(2, _lzw_encode(2, bits)) == bits
+
+
+def test_gif_encode_decode_frames():
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import decode_gif, encode_gif
+
+    f = (np.arange(48 * 64, dtype=np.uint32).reshape(48, 64) % 256) \
+        .astype(np.uint8)
+    frames = [(f + 17 * i) % 256 for i in range(3)]
+    frames = [x.astype(np.uint8) for x in frames]
+    data = encode_gif(frames)
+    assert data[:6] == b"GIF89a"
+    assert encode_gif(frames) == data            # deterministic bytes
+    dec = decode_gif(data)
+    assert len(dec) == 3
+    for got, want in zip(dec, frames):
+        assert got.shape == (48, 64, 3)
+        # grayscale palette: every channel equals the index raster
+        for c in range(3):
+            assert (got[:, :, c] == want).all()
+
+
+def test_gif_interlace_and_transparency():
+    """Hand-build an interlaced frame + a transparent second frame the
+    encoder never emits, so the decoder paths real web GIFs hit are
+    covered."""
+    import struct
+
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (_GIF_INTERLACE_PASSES,
+                                                    _lzw_encode, decode_gif)
+
+    h, w = 8, 4
+    img = (np.arange(h * w, dtype=np.uint32).reshape(h, w) % 256) \
+        .astype(np.uint8)
+    # rows stored in interlace order
+    order = [r for start, step in _GIF_INTERLACE_PASSES
+             for r in range(start, h, step)]
+    stored = img[order]
+
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h) \
+        + bytes([0xF7, 0, 0]) \
+        + bytes(v for i in range(256) for v in (i, i, i))
+    # frame 1: interlaced
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40" + bytes([8])
+    lzw = _lzw_encode(8, stored.reshape(-1).tobytes())
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    # frame 2: 2x2 patch at (1,1), index 7 transparent, value 200 drawn
+    out += b"\x21\xf9\x04\x05\x00\x00\x07\x00"   # GCE: transp idx 7
+    out += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([8])
+    patch = bytes([200, 7, 7, 200])
+    lzw2 = _lzw_encode(8, patch)
+    out += bytes([len(lzw2)]) + lzw2 + b"\x00" + b"\x3b"
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0][:, :, 0] == img).all()     # de-interlaced
+    f2 = frames[1][:, :, 0]
+    assert f2[1, 1] == 200 and f2[2, 2] == 200   # drawn pixels
+    assert f2[1, 2] == img[1, 2]                 # transparent -> shows prior
+    assert f2[2, 1] == img[2, 1]
+
+
+def test_gif_garbage_rejected_fast():
+    from fuzzy_search_spark.pipeline.codecs import decode_gif
+
+    for bad in (b"GIF89a", b"GIF89a" + bytes(range(60)),
+                b"GIF89a\xff\xff\xff\xff\x87\x00" + b"xx" * 400,
+                b"notagif"):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_image_features_real_gif(spark):
+    """A valid GIF now decodes FOR REAL in image_features; garbage with a
+    GIF magic is rejected (skipped) instead of faked."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import encode_gif
+    from fuzzy_search_spark.pipeline.multimodal import image_features
+
+    f = np.full((16, 16), 100, dtype=np.uint8)
+    good = encode_gif([f])
+    rows = spark.createDataFrame(
+        [("good", bytearray(good)), ("junk", bytearray(b"GIF89a" + b"x" * 64))],
+        "url string, payload binary")
+    feats = {r.url: r for r in image_features(rows).collect()}
+    assert set(feats) == {"good"}
+    assert feats["good"].height == 16 and feats["good"].width == 16
+    assert feats["good"].mean_rgb == [100.0, 100.0, 100.0]
