@@ -809,6 +809,24 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode end-to-end through a LOSSY format: each document gets
+    a baseline grayscale JPEG of four constant 8x8 blocks (values =
+    first four sha256(text) bytes).  Constant blocks are DC-only and the
+    all-ones quantization keeps DC exact, so the huffman+IDCT round-trip
+    reproduces the pixels EXACTLY — oracle-computable from sha256."""
+    from fuzzy_search_spark.pipeline.multimodal import (image_features,
+                                                        synth_jpeg_payload)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 1)
+    feats = image_features(synth_jpeg_payload(docs))
+    return feats.select(
+        "url", "media_type", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    ).orderBy("url")
+
+
 def q_gif_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode end-to-end: encode a valid animated GIF89a per
     document (frame i = 16x16 grayscale raster of sha256(text|gi)
@@ -1256,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
+        "jpeg_features": q_jpeg_features,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2646,6 +2665,29 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        # JPEG: 16x16 grayscale of four constant 8x8 blocks (first four
+        # digest bytes); DC-only blocks + all-ones quantization round-trip
+        # exactly, so the lossy decode is still hash-checkable
+        "jpeg_features": """
+            WITH docs AS (
+              SELECT doc_id, sha256(text) AS sha FROM documents
+              WHERE doc_id % 5 = 1
+            ), b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(sha, 1, 2) AS INT) AS b0,
+                     CAST('0x' || substr(sha, 3, 2) AS INT) AS b1,
+                     CAST('0x' || substr(sha, 5, 2) AS INT) AS b2,
+                     CAST('0x' || substr(sha, 7, 2) AS INT) AS b3
+              FROM docs
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   'image/jpeg' AS media_type,
+                   16 AS height, 16 AS width,
+                   round((b0 + b1 + b2 + b3) / 4.0, 6) AS mean_r,
+                   round(CAST(CAST(CAST(b0 AS DOUBLE) / 255.0 AS REAL)
+                              AS DOUBLE), 6) AS e0
+            FROM b ORDER BY url
         """,
         # GIF frames: frame i is a grayscale raster of sha256(text|gi)
         # repeated; palette maps index k -> (k,k,k), so the decoded

@@ -15,6 +15,7 @@ multimodal.py.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Tuple
@@ -564,3 +565,406 @@ def _decode_gif(data: bytes):
     if not frames:
         raise ValueError("GIF with no image data")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG (stdlib+numpy baseline: huffman entropy decode, dequant, IDCT,
+# 4:4:4 / 4:2:0 chroma, grayscale + YCbCr; minimal grayscale encoder)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal DCT-II matrix: block = C.T @ coefs @ C reconstructs
+_DCT_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_C[_k, _n] = math.cos(math.pi * (2 * _n + 1) * _k / 16) * \
+            (math.sqrt(1 / 8) if _k == 0 else math.sqrt(2 / 8))
+
+
+class _BitReader:
+    """MSB-first bit reader over byte-stuffed JPEG entropy data."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad: spec allows 1-fill,
+                self.nbits += 8                 # 0 keeps EOB decoding sane
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1               # stuffed FF
+                else:
+                    self.pos -= 1               # marker: stop consuming
+                    self.acc = (self.acc << 8)
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _build_huffman(bits, symbols):
+    """code (as int with marker bit) -> symbol; decode walks bit by bit."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(1 << length) | code] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 1
+    for _ in range(16):
+        code = (code << 1) | reader.read(1)
+        if code in table:
+            return table[code]
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+_JPEG_MAX_PIXELS = 64_000_000
+
+
+def decode_jpeg(data: bytes):
+    """Baseline (SOF0/SOF1) JPEG decode to an HxWx3 uint8 RGB array.
+
+    Stdlib+numpy only: marker walk, huffman entropy decode with byte
+    unstuffing and restart markers, dequant, orthonormal IDCT, chroma
+    upsampling for subsampled components (4:2:0/4:2:2), BT.601
+    YCbCr->RGB; grayscale replicates.  Progressive (SOF2) and arithmetic
+    coding are rejected with ValueError — callers skip, same contract as
+    the PNG/GIF decoders."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from None
+
+
+def _decode_jpeg(data: bytes):
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt = {}
+    huff = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:                      # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(seg[i:i + 128],
+                                         dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(seg[i:i + 64],
+                                         dtype=np.uint8).astype(np.int64)
+                    i += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if w == 0 or h == 0 or w * h > _JPEG_MAX_PIXELS:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xC4:                    # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                symbols = list(seg[i + 17:i + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, symbols)
+                i += 17 + n
+        elif marker == 0xDD:                    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                    # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(data, pos + seg_len, frame, scan, qt,
+                                huff, restart_interval)
+        pos += seg_len
+    raise ValueError("no JPEG scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               dtype=np.float64))
+    reader = _BitReader(data[pos:])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader = _skip_restart(reader)
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, huff[(0, dc_t)])
+                        preds[ci] += _extend(reader.read(s), s)
+                        coefs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:      # EOB
+                                break
+                            if rs == 0xF0:      # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coefs[k] = _extend(reader.read(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coefs * q
+                        spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py:py + 8, px:px + 8] = spatial
+    out = []
+    for ci, c in enumerate(comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = out[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    if len(out) != 3:
+        raise ValueError(f"unsupported component count {len(out)}")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _skip_restart(reader: _BitReader) -> _BitReader:
+    """Byte-align and consume the RSTn marker, returning a fresh reader."""
+    data = reader.data
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7:
+            return _BitReader(data[pos + 2:])
+        pos += 1
+    raise ValueError("missing restart marker")
+
+
+# standard Annex K luminance huffman tables (bits, symbols)
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_SYMS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_codes(bits, symbols):
+    """symbol -> (code, length) for the writer side."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int):
+        self.acc = (self.acc << n) | code
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)           # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)     # 1-fill per spec
+
+
+def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Minimal deterministic baseline JPEG writer: single grayscale
+    component, ALL-ONES quantization table (so DC-only blocks — e.g.
+    constant 8x8 tiles — round-trip EXACTLY through the decoder), the
+    Annex K standard huffman tables, no subsampling, optional DRI/RSTn
+    restart markers.  Dimensions must be multiples of 8.  Fixture-side
+    twin of :func:`decode_jpeg`."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    dc_codes = _encode_codes(_STD_DC_BITS, _STD_DC_SYMS)
+    ac_codes = _encode_codes(_STD_AC_BITS, _STD_AC_SYMS)
+    wr = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.flush()
+                wr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = 0
+            mcu += 1
+            block = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            coefs = _DCT_C @ block @ _DCT_C.T
+            zz = np.round(coefs.reshape(-1)[_ZIGZAG]).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            code, n = dc_codes[s]
+            wr.write(code, n)
+            if s:
+                wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, n = ac_codes[0x00]    # EOB
+                    wr.write(code, n)
+                    break
+                while run >= 16:
+                    code, n = ac_codes[0xF0]    # ZRL
+                    wr.write(code, n)
+                    run -= 16
+                v = int(zz[k])
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                code, n = ac_codes[(run << 4) | s]
+                wr.write(code, n)
+                wr.write(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+    wr.flush()
+
+    out = bytearray(b"\xff\xd8")                          # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + bytes(64)[:0] + bytes([1] * 64)                 # DQT all-ones
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])                             # SOF0 1 comp
+    for tc, bits, syms in ((0, _STD_DC_BITS, _STD_DC_SYMS),
+                           (1, _STD_AC_BITS, _STD_AC_SYMS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) \
+            + bytes([tc << 4]) + bytes(bits) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) \
+        + bytes([1, 1, 0x00, 0, 63, 0])                   # SOS
+    out += wr.out
+    out += b"\xff\xd9"                                    # EOI
+    return bytes(out)

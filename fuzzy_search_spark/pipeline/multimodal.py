@@ -1,15 +1,17 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-PNG, GIF (incl. animated) and WAV payloads decode FOR REAL via the
-stdlib-only codecs in :mod:`fuzzy_search_spark.pipeline.codecs` (zlib
-inflate + scanline unfilter; LZW + palette; RIFF struct parse).  Only
-the formats that genuinely need external codec libraries — JPEG images
-and real video containers (mp4/webm) — remain STUBS with a
-deterministic fake behind ``FAKE_DECODE=True`` (and
-``NotImplementedError`` otherwise).  The Spark-side plumbing is identical
-either way: schemas, batch iteration, UDF signatures, partition-level
-batching, and raw-byte metadata (magic sniffing, sizes, content hashes).
+PNG, GIF (incl. animated), baseline JPEG and WAV payloads decode FOR
+REAL via the stdlib+numpy codecs in
+:mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
+unfilter; LZW + palette; huffman + dequant + IDCT; RIFF struct parse).
+Only real video containers (mp4/webm) — which genuinely need external
+codec libraries — remain STUBS with a deterministic fake behind
+``FAKE_DECODE=True`` (and ``NotImplementedError`` otherwise);
+progressive JPEG is rejected as undecodable like any malformed row.
+The Spark-side plumbing is identical either way: schemas, batch
+iteration, UDF signatures, partition-level batching, and raw-byte
+metadata (magic sniffing, sizes, content hashes).
 """
 
 from __future__ import annotations
@@ -28,18 +30,21 @@ from fuzzy_search_spark.pipeline.codecs import (
     PNG_SIGNATURE,
     decode_apng,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_wav,
     encode_apng,
+    encode_jpeg_gray,
     encode_png,
     encode_wav,
     is_apng,
     to_rgb,
 )
 
-#: governs only the formats with no stdlib codec (JPEG/mp4/webm): flip to
-#: False to surface NotImplementedError where a real codec belongs.  PNG,
-#: GIF and WAV always decode for real.
+#: governs only the formats with no stdlib codec (real video containers,
+#: mp4/webm): flip to False to surface NotImplementedError where a real
+#: codec belongs.  PNG, GIF, baseline JPEG and WAV always decode for real
+#: (progressive JPEG is rejected as undecodable, like any malformed row).
 FAKE_DECODE = True
 
 _MAGIC = [
@@ -135,23 +140,19 @@ def _fake_thumbnail(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    PNG and GIF decode FOR REAL (codecs.decode_png: stdlib zlib inflate +
-    scanline unfilter, gray/palette/alpha normalized to RGB;
-    codecs.decode_gif: LZW + palette + interlace, first frame).  JPEG
-    needs an external codec (Pillow/cv2), absent in this environment —
-    it falls back to the deterministic fake under ``FAKE_DECODE`` and
-    raises NotImplementedError otherwise.  Anything else raises ValueError
-    (callers skip undecodable rows)."""
+    PNG, GIF and baseline JPEG decode FOR REAL (codecs.decode_png:
+    stdlib zlib inflate + scanline unfilter, gray/palette/alpha
+    normalized to RGB; codecs.decode_gif: LZW + palette + interlace,
+    first frame; codecs.decode_jpeg: huffman + dequant + IDCT, 4:2:0
+    upsampling, restart markers).  Progressive JPEG raises ValueError
+    like any other undecodable payload (callers skip the row)."""
     mtype = sniff_media_type(payload)
     if mtype == "image/png":
         return to_rgb(decode_png(bytes(payload)))
     if mtype == "image/gif":
         return decode_gif(bytes(payload))[0]
     if mtype == "image/jpeg":
-        if not FAKE_DECODE:
-            raise NotImplementedError(
-                f"no stdlib codec for {mtype}; install Pillow/cv2")
-        return _fake_thumbnail(payload)
+        return decode_jpeg(bytes(payload))
     raise ValueError(f"not an image payload ({mtype})")
 
 
@@ -189,8 +190,8 @@ def image_features(df: DataFrame, url_col: str = "url",
                    embedding_dim: int = 16) -> DataFrame:
     """Decode -> feature-extract over image payloads.
 
-    PNG and GIF decode for real (stdlib inflate + unfilter; LZW +
-    palette); JPEG uses the documented fake.  Undecodable payloads are
+    PNG, GIF and baseline JPEG decode for real (stdlib inflate +
+    unfilter; LZW + palette; huffman + IDCT).  Undecodable payloads are
     skipped (a 100-TB crawl
     always contains corrupt bytes; one bad row must not kill a task).
     The plumbing mirrors a production pipeline: one Arrow batch in, one
@@ -443,6 +444,33 @@ def synth_gif_payload(df: DataFrame, id_col: str = "doc_id",
                         (digest * 8)[:256], dtype=np.uint8).reshape(16, 16))
                 urls.append(str(doc_id))
                 payloads.append(encode_gif(frames))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(url, payload): a VALID baseline grayscale JPEG per row — a 16x16
+    image of four constant 8x8 blocks whose values are the first four
+    sha256(text) digest bytes.  Constant blocks are DC-only, and the
+    encoder's all-ones quantization keeps the DC coefficient exact, so
+    the LOSSY format round-trips these pixels EXACTLY — which is what
+    makes the decoded statistics oracle-computable from sha256 alone."""
+    from fuzzy_search_spark.pipeline.codecs import encode_jpeg_gray
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                digest = hashlib.sha256(
+                    (text or "").encode("utf-8")).digest()
+                vals = np.frombuffer(digest[:4],
+                                     dtype=np.uint8).reshape(2, 2)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                urls.append(str(doc_id))
+                payloads.append(encode_jpeg_gray(img))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

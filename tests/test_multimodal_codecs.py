@@ -464,3 +464,63 @@ def test_image_features_real_gif(spark):
     assert set(feats) == {"good"}
     assert feats["good"].height == 16 and feats["good"].width == 16
     assert feats["good"].mean_rgb == [100.0, 100.0, 100.0]
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline huffman + IDCT)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_exact():
+    """Constant 8x8 blocks are DC-only; with all-ones quantization the
+    lossy format round-trips them EXACTLY — the property the oracle
+    relies on."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_jpeg,
+                                                    encode_jpeg_gray)
+
+    vals = np.array([[10, 200], [128, 77]], dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    data = encode_jpeg_gray(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert encode_jpeg_gray(img) == data          # deterministic bytes
+    dec = decode_jpeg(data)
+    assert dec.shape == (16, 16, 3)
+    for c in range(3):
+        assert (dec[:, :, c] == img).all()
+
+
+def test_jpeg_arbitrary_image_near_exact():
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_jpeg,
+                                                    encode_jpeg_gray)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray(img))[:, :, 0].astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_jpeg,
+                                                    encode_jpeg_gray)
+
+    vals = (np.arange(12, dtype=np.uint32).reshape(3, 4) * 20) % 256
+    img = np.kron(vals.astype(np.uint8), np.ones((8, 8), dtype=np.uint8))
+    for ri in (1, 3):
+        dec = decode_jpeg(encode_jpeg_gray(img, restart_interval=ri))
+        assert (dec[:, :, 0] == img).all()
+
+
+def test_jpeg_garbage_and_progressive_rejected():
+    from fuzzy_search_spark.pipeline.codecs import decode_jpeg
+
+    for bad in (b"\xff\xd8" + b"junk" * 30,
+                b"\xff\xd8\xff\xc2\x00\x08aaaaaa",   # SOF2 progressive
+                b"nope", b"\xff\xd8"):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)

@@ -177,16 +177,24 @@ def test_multimodal_plumbing(spark, pages_path):
     assert got["u1"].media_type == "image/png"
     assert got["u2"].media_type == "image/jpeg"
 
-    # u1 is a PNG signature with a garbage body: the REAL decoder rejects
-    # it and the row is skipped; u2 (JPEG, no stdlib codec) takes the
-    # documented deterministic fake
+    # both payloads carry real magics over garbage bodies: the REAL
+    # decoders (PNG inflate+unfilter, JPEG huffman+IDCT) reject them and
+    # the rows are skipped — corrupt crawl bytes cost rows, never tasks
     feats = image_features(png).collect()
-    assert {f.url for f in feats} == {"u2"}
-    assert {(f.height, f.width) for f in feats} == {(16, 16)}
-    assert all(len(f.embedding) == 16 for f in feats)
-    # deterministic fake: same payload -> same features
-    again = image_features(png).collect()
-    assert sorted(map(str, feats)) == sorted(map(str, again))
+    assert feats == []
+    # a VALID baseline JPEG decodes for real
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import encode_jpeg_gray
+
+    ok = spark.createDataFrame(
+        [("j1", bytearray(encode_jpeg_gray(
+            np.full((16, 16), 150, dtype=np.uint8))))],
+        "url string, payload binary")
+    got = image_features(ok).collect()
+    assert len(got) == 1
+    assert got[0].mean_rgb == [150.0, 150.0, 150.0]
+    assert (got[0].height, got[0].width) == (16, 16)
 
 
 def test_resume_manifest(spark, pages_path, tmp_path):
