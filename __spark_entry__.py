@@ -809,6 +809,25 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode end-to-end: each document gets an
+    AVI/MJPEG file whose frame i is a constant-block grayscale JPEG from
+    sha256(text|vi)[:4] — RIFF walk + huffman + IDCT reproduce the frame
+    pixels exactly, so a real video container is hash-checkable."""
+    from fuzzy_search_spark.pipeline.multimodal import (
+        synth_avi_payload,
+        video_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 3)
+    feats = video_frame_features(synth_avi_payload(docs, n_frames=3),
+                                 n_frames=3)
+    return feats.select(
+        "url", "n_frames", "frame_index", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+    ).orderBy("url", "frame_index")
+
+
 def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode end-to-end through a LOSSY format: each document gets
     a baseline grayscale JPEG of four constant 8x8 blocks (values =
@@ -1275,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
         "jpeg_features": q_jpeg_features,
+        "avi_frame_features": q_avi_frame_features,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2665,6 +2685,30 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        # AVI/MJPEG frames: frame i is a constant-block grayscale JPEG of
+        # sha256(text|vi)[:4]; DC-exact round-trip -> mean = mean of the
+        # four digest bytes
+        "avi_frame_features": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+            ), fr AS (
+              SELECT doc_id, CAST(f AS INT) AS f,
+                     sha256(text || '|v' || CAST(f AS VARCHAR)) AS sha
+              FROM docs, (SELECT unnest(generate_series(0, 2)) AS f)
+            ), b AS (
+              SELECT doc_id, f,
+                     CAST('0x' || substr(sha, 1, 2) AS INT) AS b0,
+                     CAST('0x' || substr(sha, 3, 2) AS INT) AS b1,
+                     CAST('0x' || substr(sha, 5, 2) AS INT) AS b2,
+                     CAST('0x' || substr(sha, 7, 2) AS INT) AS b3
+              FROM fr
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   3 AS n_frames, f AS frame_index,
+                   16 AS height, 16 AS width,
+                   round((b0 + b1 + b2 + b3) / 4.0, 6) AS mean_r
+            FROM b ORDER BY url, frame_index
         """,
         # JPEG: 16x16 grayscale of four constant 8x8 blocks (first four
         # digest bytes); DC-only blocks + all-ones quantization round-trip

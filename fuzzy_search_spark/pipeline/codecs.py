@@ -968,3 +968,81 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     out += wr.out
     out += b"\xff\xd9"                                    # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG (RIFF container walk; frames decoded by the JPEG codec)
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(jpeg_frames, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal deterministic AVI writer with MJPEG video frames (the
+    classic RIFF layout: hdrl(avih, strl(strh, strf)) + movi('00dc'
+    chunks)).  Frames are pre-encoded JPEG bytes (see
+    :func:`encode_jpeg_gray`)."""
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    n = len(jpeg_frames)
+    max_bytes = max(len(f) for f in jpeg_frames)
+    avih = struct.pack("<14I", 1_000_000 // fps, max_bytes * fps, 0, 0x10,
+                       n, 0, 1, max_bytes, width, height, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4H",
+                                           0, 0, 0, 0, 1, fps, 0, n,
+                                           max_bytes, 0, 0, 0, 0,
+                                           width, height)
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(data: bytes):
+    """Decode an AVI's MJPEG video frames to HxWx3 uint8 RGB arrays.
+
+    Walks the RIFF chunk tree to the ``movi`` list and decodes every
+    ``..dc``/``..db`` chunk with :func:`decode_jpeg`.  Undecodable
+    individual frames are skipped (same row-not-task contract as the
+    other codecs); no frames at all raises ValueError."""
+    try:
+        frames = _decode_avi(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed AVI: {exc}") from None
+    if not frames:
+        raise ValueError("AVI with no decodable MJPEG frames")
+    return frames
+
+
+def _decode_avi(data: bytes):
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames = []
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            payload_start = pos + 8
+            payload_end = min(payload_start + size, end)
+            if tag == b"LIST":
+                kind = data[payload_start:payload_start + 4]
+                if kind in (b"movi", b"hdrl", b"rec "):
+                    walk(payload_start + 4, payload_end)
+            elif tag[2:4] in (b"dc", b"db"):
+                try:
+                    frames.append(
+                        decode_jpeg(data[payload_start:payload_end]))
+                except ValueError:
+                    pass                        # skip one bad frame
+            pos = payload_end + (size & 1)
+
+    walk(12, len(data))
+    return frames

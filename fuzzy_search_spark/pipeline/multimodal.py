@@ -29,11 +29,13 @@ from pyspark.sql import types as T
 from fuzzy_search_spark.pipeline.codecs import (
     PNG_SIGNATURE,
     decode_apng,
+    decode_avi_mjpeg,
     decode_gif,
     decode_jpeg,
     decode_png,
     decode_wav,
     encode_apng,
+    encode_avi_mjpeg,
     encode_jpeg_gray,
     encode_png,
     encode_wav,
@@ -65,8 +67,11 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
     head = bytes(payload[:16])
     for magic, mtype in _MAGIC:
         if head.startswith(magic):
-            if mtype == "audio/wav" and head[8:12] != b"WAVE":
-                return "application/octet-stream"
+            if mtype == "audio/wav":
+                if head[8:12] == b"AVI ":
+                    return "video/avi"
+                if head[8:12] != b"WAVE":
+                    return "application/octet-stream"
             return mtype
     return "application/octet-stream"
 
@@ -159,17 +164,19 @@ def _decode_image(payload: bytes) -> np.ndarray:
 def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
     """Frame sampler for animation/video payloads.
 
-    APNG and animated GIF decode FOR REAL (codecs.decode_apng /
-    codecs.decode_gif — the two animation formats the stdlib can
-    handle); the first ``n_frames`` frames are returned.  Real video
-    containers (mp4/webm) need external codecs and keep the
-    deterministic fake (per-frame sha256 thumbnails) behind
-    ``FAKE_DECODE``."""
+    APNG, animated GIF and AVI/MJPEG decode FOR REAL (codecs.decode_apng
+    / decode_gif / decode_avi_mjpeg — the animation/container formats
+    stdlib+numpy can handle); the first ``n_frames`` frames are
+    returned.  Modern video containers (mp4/webm: H.264/VP9 payloads)
+    need external codecs and keep the deterministic fake (per-frame
+    sha256 thumbnails) behind ``FAKE_DECODE``."""
     data = bytes(payload)
     if data.startswith(PNG_SIGNATURE) and is_apng(data):
         return decode_apng(data)[:n_frames]
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)[:n_frames]
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return decode_avi_mjpeg(data)[:n_frames]
     if not FAKE_DECODE:
         raise NotImplementedError("video codec not available in this env")
     return [_fake_thumbnail(data + bytes([i])) for i in range(n_frames)]
@@ -471,6 +478,38 @@ def synth_jpeg_payload(df: DataFrame, id_col: str = "doc_id",
                 img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
                 urls.append(str(doc_id))
                 payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_avi_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_frames: int = 3) -> DataFrame:
+    """(url, payload): a VALID AVI/MJPEG video per row — frame ``i`` is a
+    16x16 grayscale JPEG of four constant 8x8 blocks taken from
+    sha256(text + '|v' + i)[:4].  Constant blocks round-trip the lossy
+    JPEG frames exactly (see :func:`synth_jpeg_payload`), so the decoded
+    per-frame statistics of a real video CONTAINER are oracle-computable
+    from sha256 alone."""
+    from fuzzy_search_spark.pipeline.codecs import (encode_avi_mjpeg,
+                                                    encode_jpeg_gray)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                jpegs = []
+                for i in range(n_frames):
+                    digest = hashlib.sha256(
+                        f"{text or ''}|v{i}".encode("utf-8")).digest()
+                    vals = np.frombuffer(digest[:4],
+                                         dtype=np.uint8).reshape(2, 2)
+                    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                    jpegs.append(encode_jpeg_gray(img))
+                urls.append(str(doc_id))
+                payloads.append(encode_avi_mjpeg(jpegs, 16, 16))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

@@ -524,3 +524,41 @@ def test_jpeg_garbage_and_progressive_rejected():
                 b"nope", b"\xff\xd8"):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
+
+
+def test_avi_mjpeg_roundtrip_and_sampling(spark):
+    """A real video container decodes for real: AVI/MJPEG frames
+    round-trip through video_frame_features exactly (constant blocks)."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_avi_mjpeg,
+                                                    encode_avi_mjpeg,
+                                                    encode_jpeg_gray)
+    from fuzzy_search_spark.pipeline.multimodal import (
+        sniff_media_type, video_frame_features)
+
+    frames = []
+    for i in range(3):
+        vals = np.array([[40 + i, 200 - i], [5, 99 + i]], dtype=np.uint8)
+        frames.append(np.kron(vals, np.ones((8, 8), dtype=np.uint8)))
+    avi = encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames], 16, 16)
+    assert sniff_media_type(avi) == "video/avi"
+    dec = decode_avi_mjpeg(avi)
+    assert len(dec) == 3
+    for got, want in zip(dec, frames):
+        assert (got[:, :, 0] == want).all()
+
+    df = spark.createDataFrame([("v1", bytearray(avi))],
+                               "url string, payload binary")
+    rows = sorted(video_frame_features(df, n_frames=3).collect(),
+                  key=lambda r: r.frame_index)
+    assert len(rows) == 3
+    for r, want in zip(rows, frames):
+        assert (r.height, r.width) == (16, 16)
+        assert r.mean_rgb[0] == float(want.mean())
+
+    # a bad frame is skipped, the rest decode
+    broken = encode_avi_mjpeg(
+        [encode_jpeg_gray(frames[0]), b"\xff\xd8junk",
+         encode_jpeg_gray(frames[2])], 16, 16)
+    assert len(decode_avi_mjpeg(broken)) == 2
