@@ -1046,3 +1046,87 @@ def _decode_avi(data: bytes):
 
     walk(12, len(data))
     return frames
+
+
+def _encode_block(wr, block, pred, dc_codes, ac_codes):
+    """DCT + all-ones quant + huffman for one 8x8 block; returns new DC."""
+    coefs = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    zz = np.round(coefs.reshape(-1)[_ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+    code, n = dc_codes[s]
+    wr.write(code, n)
+    if s:
+        wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            code, n = ac_codes[0x00]
+            wr.write(code, n)
+            break
+        while run >= 16:
+            code, n = ac_codes[0xF0]
+            wr.write(code, n)
+            run -= 16
+        v = int(zz[k])
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        code, n = ac_codes[(run << 4) | s]
+        wr.write(code, n)
+        wr.write(v if v > 0 else v + (1 << s) - 1, s)
+        k += 1
+    return int(zz[0])
+
+
+def encode_jpeg_color(img: np.ndarray) -> bytes:
+    """Baseline color JPEG writer with 4:2:0 chroma subsampling — the
+    layout virtually every web JPEG uses, so the DECODER's interleaved-
+    MCU + upsampling + YCbCr paths get exercised by a self-made fixture.
+    All-ones quantization, standard tables for all components.
+    Dimensions must be multiples of 16 (one full MCU)."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    if h % 16 or w % 16:
+        raise ValueError("dimensions must be multiples of 16")
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    dc_codes = _encode_codes(_STD_DC_BITS, _STD_DC_SYMS)
+    ac_codes = _encode_codes(_STD_AC_BITS, _STD_AC_SYMS)
+    wr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    py, px = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _encode_block(
+                        wr, y[py:py + 8, px:px + 8], preds[0],
+                        dc_codes, ac_codes)
+            for ci, plane in ((1, cb), (2, cr)):
+                py, px = my * 8, mx * 8
+                preds[ci] = _encode_block(
+                    wr, plane[py:py + 8, px:px + 8], preds[ci],
+                    dc_codes, ac_codes)
+    wr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) \
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    for tc, bits, syms in ((0, _STD_DC_BITS, _STD_DC_SYMS),
+                           (1, _STD_AC_BITS, _STD_AC_SYMS)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) \
+            + bytes([tc << 4]) + bytes(bits) + bytes(syms)
+    out += b"\xff\xda" + struct.pack(">H", 12) \
+        + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)

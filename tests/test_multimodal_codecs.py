@@ -562,3 +562,30 @@ def test_avi_mjpeg_roundtrip_and_sampling(spark):
         [encode_jpeg_gray(frames[0]), b"\xff\xd8junk",
          encode_jpeg_gray(frames[2])], 16, 16)
     assert len(decode_avi_mjpeg(broken)) == 2
+
+
+def test_jpeg_color_420_decode_path():
+    """The 4:2:0 interleaved-MCU + chroma-upsample + YCbCr paths — the
+    layout virtually every web JPEG uses — decode correctly: a 2x2-cell
+    color image (subsampling-lossless) round-trips within +-2, and a
+    clip-free random image preserves luma within +-4."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_jpeg,
+                                                    encode_jpeg_color)
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(30, 220, (16, 16, 3))
+    img = np.kron(base, np.ones((2, 2, 1))).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color(img)).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 2
+
+    img2 = rng.integers(64, 192, (32, 48, 3), dtype=np.uint8)
+    dec2 = decode_jpeg(encode_jpeg_color(img2)).astype(int)
+    lum = (0.299 * img2[:, :, 0] + 0.587 * img2[:, :, 1]
+           + 0.114 * img2[:, :, 2])
+    lum2 = (0.299 * dec2[:, :, 0] + 0.587 * dec2[:, :, 1]
+            + 0.114 * dec2[:, :, 2])
+    assert np.abs(lum2 - lum).max() <= 4
+    # deterministic bytes
+    assert encode_jpeg_color(img) == encode_jpeg_color(img)
