@@ -809,6 +809,20 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata parse over ISO BMFF (mp4) stubs: box-tree
+    walk extracts duration/dimensions/codec — the resolution/length gate
+    a video pipeline applies before any codec-bound frame decode.  All
+    fields derive analytically from doc_id, so the oracle needs no
+    digest machinery."""
+    from fuzzy_search_spark.pipeline.multimodal import (synth_mp4_payload,
+                                                        video_metadata)
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    return (video_metadata(synth_mp4_payload(docs))
+            .orderBy("url"))
+
+
 def q_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode end-to-end: each document gets an
     AVI/MJPEG file whose frame i is a constant-block grayscale JPEG from
@@ -1295,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frame_features": q_gif_frame_features,
         "jpeg_features": q_jpeg_features,
         "avi_frame_features": q_avi_frame_features,
+        "video_metadata": q_video_metadata,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2685,6 +2700,16 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        "video_metadata": """
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   'video/mp4' AS media_type,
+                   1000 + doc_id AS duration_ms,
+                   CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                   CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END
+                     AS codec
+            FROM documents WHERE doc_id % 10 = 7 ORDER BY url
         """,
         # AVI/MJPEG frames: frame i is a constant-block grayscale JPEG of
         # sha256(text|vi)[:4]; DC-exact round-trip -> mean = mean of the

@@ -1130,3 +1130,107 @@ def encode_jpeg_color(img: np.ndarray) -> bytes:
     out += wr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 metadata (ISO BMFF box walk — no pixel decode: H.264/VP9 payloads
+# genuinely need external codecs; the container METADATA is pure struct)
+# ---------------------------------------------------------------------------
+
+def encode_mp4_stub(width: int, height: int, duration_ms: int,
+                    codec: bytes = b"avc1",
+                    timescale: int = 1000) -> bytes:
+    """Minimal deterministic ISO BMFF writer: ftyp + moov(mvhd +
+    trak(tkhd + mdia(hdlr + minf(stbl(stsd(codec entry)))))) + empty
+    mdat.  Carries real dimensions/duration/codec metadata; no samples
+    (fixture-side twin of :func:`parse_mp4_meta`)."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    dur = duration_ms * timescale // 1000
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale,
+                                               dur)
+               + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+               + bytes(10) + _MP4_UNITY_MATRIX + bytes(24)
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07"
+               + struct.pack(">IIII", 0, 0, 1, 0)
+               + struct.pack(">I", dur) + bytes(8)
+               + struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_UNITY_MATRIX
+               + struct.pack(">II", width << 16, height << 16))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"video\x00")
+    entry = box(codec, bytes(6) + struct.pack(">H", 1) + bytes(16)
+                + struct.pack(">HH", width, height) + bytes(50))
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"")
+
+
+_MP4_UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000,
+                                0, 0, 0, 0x40000000)
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """Extract container metadata from an ISO BMFF (mp4/mov) payload:
+    ``{duration_ms, width, height, codec}`` — the fields a corpus
+    pipeline filters on (resolution/length gates) without touching the
+    coded samples.  Raises ValueError on malformed input."""
+    try:
+        return _parse_mp4(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed mp4: {exc}") from None
+
+
+def _parse_mp4(data: bytes) -> dict:
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file")
+    meta = {"duration_ms": None, "width": None, "height": None,
+            "codec": None}
+
+    def walk(start: int, end: int, depth: int = 0):
+        pos = start
+        while pos + 8 <= end and depth < 10:
+            size, tag = struct.unpack(">I4s", data[pos:pos + 8])
+            if size == 1:       # 64-bit size
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size}")
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size, depth + 1)
+            elif tag == b"mvhd":
+                ver = data[body]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", data[body + 20:
+                                                        body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[body + 12:
+                                                        body + 20])
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif tag == b"tkhd":
+                ver = data[body]
+                off = body + (88 if ver == 1 else 76)
+                wfx, hfx = struct.unpack(">II", data[off:off + 8])
+                if meta["width"] is None and wfx:
+                    meta["width"] = wfx >> 16
+                    meta["height"] = hfx >> 16
+            elif tag == b"stsd":
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                if n >= 1:
+                    fourcc = data[body + 12:body + 16]
+                    if meta["codec"] is None:
+                        meta["codec"] = fourcc.decode("latin-1")
+            pos += size
+
+    walk(0, len(data))
+    if meta["duration_ms"] is None and meta["width"] is None:
+        raise ValueError("no mp4 metadata boxes found")
+    return meta

@@ -65,6 +65,8 @@ def sniff_media_type(payload: Optional[bytes]) -> str:
     if not payload:
         return "application/octet-stream"
     head = bytes(payload[:16])
+    if len(head) >= 8 and head[4:8] == b"ftyp":
+        return "video/mp4"
     for magic, mtype in _MAGIC:
         if head.startswith(magic):
             if mtype == "audio/wav":
@@ -510,6 +512,79 @@ def synth_avi_payload(df: DataFrame, id_col: str = "doc_id",
                     jpegs.append(encode_jpeg_gray(img))
                 urls.append(str(doc_id))
                 payloads.append(encode_avi_mjpeg(jpegs, 16, 16))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+VIDEO_META_SCHEMA = ("url string, media_type string, duration_ms long, "
+                     "width int, height int, codec string")
+
+
+def video_metadata(df: DataFrame, url_col: str = "url",
+                   payload_col: str = "payload") -> DataFrame:
+    """Container-level video metadata — REAL parse, no pixel decode:
+    mp4/mov payloads walk the ISO BMFF box tree (mvhd duration, tkhd
+    dimensions, stsd codec fourcc); AVI payloads take dimensions/frame
+    count from the RIFF headers.  This is the resolution/duration gate a
+    corpus pipeline applies long before any (expensive, codec-bound)
+    frame decode.  Unparseable payloads are skipped."""
+    from fuzzy_search_spark.pipeline.codecs import parse_mp4_meta
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                mtype = sniff_media_type(payload)
+                try:
+                    if mtype == "video/mp4":
+                        m = parse_mp4_meta(bytes(payload))
+                        rows.append((url, mtype, m["duration_ms"],
+                                     m["width"], m["height"], m["codec"]))
+                    elif mtype == "video/avi":
+                        data = bytes(payload)
+                        import struct as _s
+                        # avih is the first hdrl chunk: micro-sec/frame,
+                        # ..., total frames @ +16, width @ +32, height @ +36
+                        i = data.find(b"avih")
+                        if i < 0:
+                            continue
+                        vals = _s.unpack("<14I", data[i + 8:i + 64])
+                        usec, nframes, w, h = (vals[0], vals[4], vals[8],
+                                               vals[9])
+                        rows.append((url, mtype,
+                                     usec * nframes // 1000,
+                                     w, h, "MJPG"))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(rows, columns=[
+                "url", "media_type", "duration_ms", "width", "height",
+                "codec"])
+
+    return df.select(url_col, payload_col).mapInPandas(
+        process, VIDEO_META_SCHEMA)
+
+
+def synth_mp4_payload(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(url, payload): a VALID ISO BMFF stub per row with metadata
+    derived from the id — width 16*(1+id%4), height 16*(1+id%3),
+    duration 1000+id ms, codec avc1/vp09 by parity — all
+    oracle-computable analytically."""
+    from fuzzy_search_spark.pipeline.codecs import encode_mp4_stub
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                urls.append(str(did))
+                payloads.append(encode_mp4_stub(
+                    16 * (1 + did % 4), 16 * (1 + did % 3), 1000 + did,
+                    codec=b"avc1" if did % 2 == 0 else b"vp09"))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

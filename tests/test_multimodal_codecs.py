@@ -589,3 +589,35 @@ def test_jpeg_color_420_decode_path():
     assert np.abs(lum2 - lum).max() <= 4
     # deterministic bytes
     assert encode_jpeg_color(img) == encode_jpeg_color(img)
+
+
+def test_mp4_metadata_parse(spark):
+    """ISO BMFF box walk extracts duration/dimensions/codec without
+    touching coded samples; AVI headers parse too; garbage is skipped."""
+    from fuzzy_search_spark.pipeline.codecs import (encode_avi_mjpeg,
+                                                    encode_jpeg_gray,
+                                                    encode_mp4_stub,
+                                                    parse_mp4_meta)
+    from fuzzy_search_spark.pipeline.multimodal import (sniff_media_type,
+                                                        video_metadata)
+
+    mp4 = encode_mp4_stub(640, 360, 12345, codec=b"vp09")
+    assert sniff_media_type(mp4) == "video/mp4"
+    assert parse_mp4_meta(mp4) == {"duration_ms": 12345, "width": 640,
+                                   "height": 360, "codec": "vp09"}
+
+    import numpy as np
+    avi = encode_avi_mjpeg(
+        [encode_jpeg_gray(np.zeros((16, 16), dtype=np.uint8))] * 2,
+        16, 16, fps=10)
+    df = spark.createDataFrame(
+        [("m", bytearray(mp4)), ("a", bytearray(avi)),
+         ("junk", bytearray(b"\x00\x00\x00\x0cftypxxxx"))],
+        "url string, payload binary")
+    rows = {r.url: r for r in video_metadata(df).collect()}
+    assert set(rows) == {"m", "a"}
+    assert (rows["m"].width, rows["m"].height, rows["m"].codec,
+            rows["m"].duration_ms) == (640, 360, "vp09", 12345)
+    assert (rows["a"].width, rows["a"].height, rows["a"].codec) == \
+        (16, 16, "MJPG")
+    assert rows["a"].duration_ms == 2 * (1_000_000 // 10) // 1000
