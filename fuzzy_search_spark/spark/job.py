@@ -370,3 +370,28 @@ def run_extraction_job(spark: SparkSession, input_path: str, output_path: str,
         summary["docs"] += docs
         summary["matches"] += nmatches
     return summary
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str = "url",
+                   num_buckets: int = 256, sort: bool = True,
+                   mode: str = "overwrite",
+                   table_format: str = "parquet") -> None:
+    """Persist a table bucketed (and sorted) by ``bucket_col`` so every
+    later equi-join or aggregation on that key is CO-LOCATED: both scans
+    read pre-hashed buckets and the join plans with ZERO Exchange
+    operators (pinned by test) instead of reshuffling 10^12 rows per
+    query.
+
+    This is the storage-layout half of the engine's scale story: the
+    pages table, the matches table and every per-url derived table share
+    one bucketing scheme, so url-keyed joins between them never shuffle
+    again — the shuffle is paid ONCE, at write time.  Requires a catalog
+    (`saveAsTable`); plain `.parquet(path)` cannot record bucket
+    metadata.  ``num_buckets`` should be sized so a bucket of the
+    largest table fits an executor's task comfortably (at 10^12 rows and
+    ~2 GB/task that is tens of thousands of buckets — bucket counts only
+    need to match between tables that join each other)."""
+    writer = df.write.bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.mode(mode).format(table_format).saveAsTable(table)

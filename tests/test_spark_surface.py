@@ -726,3 +726,38 @@ def test_match_documents_matchless_batch(spark):
     out = match_documents(docs, model)
     assert out.count() == 0
     assert out.schema["label"].dataType.simpleString() == "array<string>"
+
+
+def test_bucketed_join_is_colocated(spark, tmp_path):
+    """write_bucketed tables join with ZERO Exchange operators — the
+    shuffle is paid once at write time, not per query (the 100-TB layout
+    story); the same join over unbucketed frames shuffles both sides."""
+    from fuzzy_search_spark.spark.job import write_bucketed
+
+    old_wh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.range(500).selectExpr(
+            "concat('u', id) AS url", "id AS x")
+        matches = spark.range(1500).selectExpr(
+            "concat('u', id % 500) AS url", "id AS m")
+        write_bucketed(pages, "pages_b", num_buckets=8)
+        write_bucketed(matches, "matches_b", num_buckets=8)
+
+        j = spark.table("pages_b").join(spark.table("matches_b"), "url")
+        assert j.count() == 1500
+        plan = j._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+
+        j2 = pages.join(matches, "url")
+        j2.count()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+        assert plan2.count("Exchange") >= 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_b")
+        spark.sql("DROP TABLE IF EXISTS matches_b")
+        if old_wh is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_wh)
