@@ -809,6 +809,15 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus snapshot profile: counts, exact token-length
+    quantiles (interpolated percentile == SQL quantile_cont), language
+    spread, majority-language share."""
+    from fuzzy_search_spark.pipeline.textstats import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container-metadata parse over ISO BMFF (mp4) stubs: box-tree
     walk extracts duration/dimensions/codec — the resolution/length gate
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_features": q_jpeg_features,
         "avi_frame_features": q_avi_frame_features,
         "video_metadata": q_video_metadata,
+        "corpus_profile": q_corpus_profile,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2700,6 +2710,29 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        "corpus_profile": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                     length(text) AS n_chars, lang
+              FROM documents
+            ), top AS (
+              SELECT count(*) AS top_lang_docs, lang AS top_lang
+              FROM d GROUP BY lang
+              ORDER BY top_lang_docs DESC, lang DESC LIMIT 1
+            )
+            SELECT count(*) AS docs,
+                   sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   quantile_cont(n_tokens, 0.5) AS p50_tokens,
+                   quantile_cont(n_tokens, 0.9) AS p90_tokens,
+                   sum(n_chars) AS total_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   (SELECT top_lang FROM top) AS top_lang,
+                   round((SELECT top_lang_docs FROM top)
+                         / CAST(count(*) AS DOUBLE), 6) AS top_lang_share
+            FROM d
         """,
         "video_metadata": """
             SELECT CAST(doc_id AS VARCHAR) AS url,

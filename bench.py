@@ -120,7 +120,11 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "best_representatives", "corpus_clean_best",
              # round 3c: crawl sources + LM quality filter
              "warc_ingest", "lm_doc_scores", "robots_admission",
-             "fix_mojibake"]
+             "fix_mojibake",
+             # round 3d: crawl sinks, media codecs, normalization
+             "wet_roundtrip", "normalize_nfc", "host_page_cap",
+             "gif_frame_features", "jpeg_features", "avi_frame_features",
+             "video_metadata", "corpus_profile"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -467,3 +467,43 @@ def normalize_nfc(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, text_col).mapInPandas(process, NFC_SCHEMA)
+
+
+def corpus_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """One-row corpus profile — the dashboard numbers a pipeline logs per
+    snapshot: document count, token totals, exact length quantiles
+    (interpolated ``percentile``, identical semantics to SQL
+    ``quantile_cont``), distinct languages and the majority-language
+    share.  One scan, two hash aggregations (per-doc token counts fold
+    into the global aggregate map-side); no window, no collect.  The
+    majority-language argmax is a struct max — Spark plans it
+    sort-based, but only over the per-language count rows the
+    HashAggregate already reduced to (same shape as anchor_text_index's
+    min_by)."""
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\w+"), 0)
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.col(lang_col))
+    top_lang = (per_doc.groupBy(lang_col).count()
+                .agg(F.max(F.struct(F.col("count"), F.col(lang_col)))
+                     .alias("m"))
+                .select(F.col("m.count").alias("top_lang_docs"),
+                        F.col("m." + lang_col).alias("top_lang")))
+    agg = per_doc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.9)").alias("p90_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(lang_col).alias("n_langs"))
+    out = agg.crossJoin(F.broadcast(top_lang))
+    return out.select(
+        "docs", "total_tokens", "mean_tokens", "p50_tokens", "p90_tokens",
+        "total_chars", "n_langs", "top_lang",
+        F.round(F.col("top_lang_docs") / F.col("docs"), 6)
+        .alias("top_lang_share"))

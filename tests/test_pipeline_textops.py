@@ -698,3 +698,29 @@ def test_normalize_nfc_crafted(spark):
     assert (out[2].changed, out[2].text_nfc) == (True, "\u00c5")
     assert (out[3].changed, out[3].text_nfc) == (False, "\ufb01n")
     assert (out[4].changed, out[4].text_nfc) == (False, None)
+
+
+def test_corpus_profile_hand_computed(spark):
+    from fuzzy_search_spark.pipeline.textstats import corpus_profile
+
+    df = spark.createDataFrame([
+        (0, "a b c", "en"), (1, "a b", "en"), (2, "x", "nl"),
+        (3, "p q r s", "en"),
+    ], "doc_id long, text string, lang string")
+    row = corpus_profile(df).collect()[0]
+    assert row.docs == 4
+    assert row.total_tokens == 3 + 2 + 1 + 4
+    assert row.mean_tokens == 2.5
+    assert row.p50_tokens == 2.5            # interpolated between 2 and 3
+    assert row.total_chars == 5 + 3 + 1 + 7
+    assert row.n_langs == 2
+    assert (row.top_lang, row.top_lang_share) == ("en", 0.75)
+
+    plan = corpus_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the struct-max argmax plans sort-based, but only AFTER the lang
+    # HashAggregate reduced the stream to one row per language (same
+    # accepted shape as anchor_text_index); the per-doc stream itself
+    # must stay hash-aggregated with no window
+    assert "Window" not in plan
+    assert "HashAggregate(keys=[lang" in plan
