@@ -809,6 +809,24 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: old = docs with id % 5 != 0,
+    new = docs with id % 3 != 0, text mutated for id % 7 == 0 — so all
+    four statuses (added/removed/changed/unchanged) occur at every
+    scale and the oracle derives each analytically."""
+    from fuzzy_search_spark.pipeline.urls import crawl_delta
+
+    docs = _docs(spark, sf_dir).select(
+        _page_url(F.col("doc_id")).alias("url"), "doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "url", "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"))
+    return crawl_delta(old, new).orderBy("url")
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus snapshot profile: counts, exact token-length
     quantiles (interpolated percentile == SQL quantile_cont), language
@@ -1320,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frame_features": q_avi_frame_features,
         "video_metadata": q_video_metadata,
         "corpus_profile": q_corpus_profile,
+        "crawl_delta": q_crawl_delta,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2710,6 +2729,31 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        "crawl_delta": """
+            WITH base AS (
+              SELECT 'https://host' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id, text
+              FROM documents
+            ), o AS (
+              SELECT url, md5(text) AS old_md5 FROM base
+              WHERE doc_id % 5 <> 0
+            ), n AS (
+              SELECT url,
+                     md5(CASE WHEN doc_id % 7 = 0
+                              THEN text || ' [rev2]' ELSE text END)
+                       AS new_md5
+              FROM base WHERE doc_id % 3 <> 0
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN old_md5 = new_md5 THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_md5, new_md5
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+            ORDER BY url
         """,
         "corpus_profile": r"""
             WITH d AS (

@@ -101,3 +101,29 @@ def host_page_cap(df: DataFrame, max_pages_per_host: int = 1000,
             .select(id_col, url_col, "host", "host_rank",
                     (F.col("host_rank") <= max_pages_per_host)
                     .alias("kept")))
+
+
+def crawl_delta(old_df: DataFrame, new_df: DataFrame,
+                url_col: str = "url",
+                text_col: str = "text") -> DataFrame:
+    """Cross-snapshot crawl diff: classify every url seen in either
+    snapshot as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by md5 content fingerprint — the primitive an incremental pipeline
+    runs between two crawls to process only the delta (re-extract
+    changed pages, retire removed ones, screen added ones against the
+    near-dup corpus).
+
+    One full outer join on url (both sides pre-reduced to (url, digest)
+    projections, so the shuffle carries fingerprints, not page bodies).
+    Returns ``(url, status, old_md5, new_md5)``."""
+    o = old_df.select(F.col(url_col).alias("url"),
+                      F.md5(F.col(text_col)).alias("old_md5"))
+    n = new_df.select(F.col(url_col).alias("url"),
+                      F.md5(F.col(text_col)).alias("new_md5"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("old_md5").isNull(), F.lit("added"))
+              .when(F.col("new_md5").isNull(), F.lit("removed"))
+              .when(F.col("old_md5") == F.col("new_md5"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("url", status.alias("status"), "old_md5", "new_md5")

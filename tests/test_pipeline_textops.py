@@ -724,3 +724,23 @@ def test_corpus_profile_hand_computed(spark):
     # must stay hash-aggregated with no window
     assert "Window" not in plan
     assert "HashAggregate(keys=[lang" in plan
+
+
+def test_crawl_delta_statuses(spark):
+    from fuzzy_search_spark.pipeline.urls import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "will change"), ("u3", "goes away")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "changed now"), ("u4", "brand new")],
+        "url string, text string")
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
+
+    # one full-outer join over (url, digest) projections
+    plan = crawl_delta(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FullOuter" in plan
+    assert plan.count("md5") >= 2      # digests computed BELOW the join
