@@ -809,6 +809,18 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (md5 buckets with
+    cumulative thresholds) — stable under retries, repartitioning and
+    corpus growth, unlike randomSplit."""
+    from fuzzy_search_spark.pipeline.mixing import assign_splits
+
+    return (assign_splits(_docs(spark, sf_dir),
+                          {"train": 0.9, "validation": 0.05,
+                           "test": 0.05})
+            .orderBy("doc_id"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: old = docs with id % 5 != 0,
     new = docs with id % 3 != 0, text mutated for id % 7 == 0 — so all
@@ -1339,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "corpus_profile": q_corpus_profile,
         "crawl_delta": q_crawl_delta,
+        "assign_splits": q_assign_splits,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2729,6 +2742,20 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        "assign_splits": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('split-v1:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 900000 THEN 'train'
+                        WHEN bucket < 950000 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         "crawl_delta": """
             WITH base AS (

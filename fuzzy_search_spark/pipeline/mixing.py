@@ -159,3 +159,34 @@ def packing_plan(df: DataFrame, id_col: str = "doc_id",
         F.floor((cum - F.col("n_tokens")) / max_tokens).alias("bin_id"),
         ((cum - F.col("n_tokens")) % max_tokens).alias("bin_offset"),
     )
+
+
+def assign_splits(df: DataFrame, weights=None, id_col: str = "doc_id",
+                  salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/validation/test assignment by md5 bucket —
+    the split every training pipeline needs, with the properties
+    ``DataFrame.randomSplit`` lacks: stable under retries,
+    repartitioning, engine choice and corpus GROWTH (a document keeps
+    its split when new documents arrive, so eval sets never silently
+    absorb training data across snapshots).
+
+    ``weights`` is an ordered dict (split name -> fraction, summing to
+    ~1; default 98/1/1).  Cumulative bucket thresholds carve [0, 1e6);
+    rounding residue goes to the last split.  Pure projection — no shuffle.
+    Returns ``(id, bucket, split)``."""
+    if weights is None:
+        weights = {"train": 0.98, "validation": 0.01, "test": 0.01}
+    bucket = _bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += float(weights[name])
+        cutoff = int(acc * BUCKETS)
+        branch = (F.when(bucket < cutoff, F.lit(name)) if expr is None
+                  else expr.when(bucket < cutoff, F.lit(name)))
+        expr = branch
+    split = (expr.otherwise(F.lit(names[-1])) if expr is not None
+             else F.lit(names[-1]))
+    return df.select(F.col(id_col), bucket.alias("bucket"),
+                     split.alias("split"))

@@ -744,3 +744,30 @@ def test_crawl_delta_statuses(spark):
         .executedPlan().toString()
     assert "FullOuter" in plan
     assert plan.count("md5") >= 2      # digests computed BELOW the join
+
+
+def test_assign_splits_deterministic_and_growth_stable(spark):
+    """Splits are a pure function of the id: retries/repartitioning and
+    corpus GROWTH never move a document between splits; fractions land
+    near the requested weights; thresholds are exact bucket cutoffs."""
+    from fuzzy_search_spark.pipeline.mixing import assign_splits
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    w = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in assign_splits(docs, w).collect()}
+    b = {r.doc_id: r.split
+         for r in assign_splits(docs.repartition(13), w).collect()}
+    assert a == b
+    # growth: the first 500 docs keep their split when 1500 more arrive
+    small = {r.doc_id: r.split for r in assign_splits(
+        spark.range(500).selectExpr("id AS doc_id"), w).collect()}
+    assert all(a[k] == v for k, v in small.items())
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.75 <= frac["train"] / 2000 <= 0.85
+    assert frac["validation"] > 0 and frac["test"] > 0
+
+    plan = assign_splits(docs, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
