@@ -809,6 +809,34 @@ def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap.xml extraction over deterministic per-document sitemaps:
+    two <url> entries (one with lastmod, one without) plus a nested
+    <sitemap> index reference for every fourth document — the oracle
+    reconstructs every row analytically."""
+    from fuzzy_search_spark.pipeline.weblinks import parse_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    ids = doc.cast("string")
+    hs = (doc % 10).cast("string")
+    day = F.lpad((1 + doc % 28).cast("string"), 2, "0")
+    idx = F.when(doc % 4 == 0, F.concat(
+        F.lit("<sitemap><loc>https://host"), hs,
+        F.lit(".com/maps/"), ids, F.lit(".xml</loc></sitemap>")))\
+        .otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n<url><loc> https://host'),
+        hs, F.lit(".com/p/"), ids,
+        F.lit(" </loc><lastmod>2024-01-"), day,
+        F.lit("</lastmod></url>\n<url><loc>https://host"), hs,
+        F.lit(".com/q/"), ids, F.lit("</loc></url>\n"), idx,
+        F.lit("</urlset>"))
+    sm = docs.select(F.concat(F.lit("host"), hs, F.lit(".com"))
+                     .alias("host"), xml.alias("sitemap_xml"))
+    return parse_sitemaps(sm).orderBy("loc", "kind")
+
+
 def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/validation/test assignment (md5 buckets with
     cumulative thresholds) — stable under retries, repartitioning and
@@ -1352,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "crawl_delta": q_crawl_delta,
         "assign_splits": q_assign_splits,
+        "sitemap_entries": q_sitemap_entries,
         "audio_features": q_audio_features,
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
@@ -2742,6 +2771,33 @@ def oracle_sql() -> dict[str, str]:
                    16 AS height, 16 AS width,
                    round(avg(b), 6) AS mean_r
             FROM bytes GROUP BY doc_id, f ORDER BY url, frame_index
+        """,
+        "sitemap_entries": """
+            WITH d AS (
+              SELECT doc_id,
+                     'host' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                       AS host,
+                     CAST(doc_id % 10 AS VARCHAR) AS hs,
+                     CAST(doc_id AS VARCHAR) AS ids,
+                     lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS day
+              FROM documents
+            ), rows_ AS (
+              SELECT host, 0 AS pos, 'url' AS kind,
+                     'https://host' || hs || '.com/p/' || ids AS loc,
+                     '2024-01-' || day AS lastmod
+              FROM d
+              UNION ALL
+              SELECT host, 1, 'url',
+                     'https://host' || hs || '.com/q/' || ids, NULL
+              FROM d
+              UNION ALL
+              SELECT host, 2, 'sitemap',
+                     'https://host' || hs || '.com/maps/' || ids
+                       || '.xml', NULL
+              FROM d WHERE doc_id % 4 = 0
+            )
+            SELECT host, pos, kind, loc, lastmod
+            FROM rows_ ORDER BY loc, kind
         """,
         "assign_splits": """
             WITH b AS (

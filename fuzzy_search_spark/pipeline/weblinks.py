@@ -267,3 +267,31 @@ def crawl_directives(df: DataFrame, id_col: str = "doc_id",
         robots.contains("nofollow").alias("nofollow"),
         rel.alias("rel_canonical"),
         effective.alias("effective_canonical"))
+
+
+def parse_sitemaps(df: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap.xml extraction — the crawl-frontier companion to
+    robots.txt: one row per ``<url>`` entry (kind ``url``) or per nested
+    ``<sitemap>`` reference in an index file (kind ``sitemap``), with
+    ``loc`` and the optional ``lastmod`` string.
+
+    Pure JVM column algebra: ``(?s)`` non-greedy block extraction +
+    per-block field regexes (both engines' regex dialects agree on this
+    subset), one posexplode — no shuffle beyond the explode itself,
+    state bounded by a single sitemap file exactly like
+    :func:`fuzzy_search_spark.pipeline.robots.parse_robots`."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<(url|sitemap)>(.*?)</\1>"), F.lit(0))
+    exploded = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(blocks).alias("pos", "block"))
+    kind = F.regexp_extract(F.col("block"), r"^<(url|sitemap)>", 1)
+    loc = F.regexp_extract(F.col("block"),
+                           r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(F.col("block"),
+                               r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return (exploded.select(
+        "host", "pos", kind.alias("kind"), loc.alias("loc"),
+        F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"))
+        .filter(F.col("loc") != ""))

@@ -235,3 +235,37 @@ def test_crawl_directives_crafted(spark):
     plan = (crawl_directives(pages)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_parse_sitemaps(spark):
+    """Sitemap url entries + index references extract with optional
+    lastmod; entries without <loc> are dropped; multiline XML handled."""
+    from fuzzy_search_spark.pipeline.weblinks import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url><loc> https://h/a </loc>"
+        "<lastmod>2024-01-02</lastmod></url>\n"
+        "  <url><loc>https://h/b</loc></url>\n"
+        "  <url><lastmod>2024-05-05</lastmod></url>\n"
+        "</urlset>")
+    index = (
+        "<sitemapindex>\n"
+        "<sitemap><loc>https://h/s1.xml</loc>"
+        "<lastmod>2023-12-31</lastmod></sitemap>\n"
+        "<sitemap><loc>https://h/s2.xml</loc></sitemap>\n"
+        "</sitemapindex>")
+    df = spark.createDataFrame([("h1", urlset), ("h2", index)],
+                               "host string, sitemap_xml string")
+    rows = sorted((r.host, r.kind, r.loc, r.lastmod)
+                  for r in parse_sitemaps(df).collect())
+    assert rows == [
+        ("h1", "url", "https://h/a", "2024-01-02"),
+        ("h1", "url", "https://h/b", None),
+        ("h2", "sitemap", "https://h/s1.xml", "2023-12-31"),
+        ("h2", "sitemap", "https://h/s2.xml", None),
+    ]
+
+    plan = parse_sitemaps(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
