@@ -518,6 +518,21 @@ def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.join(bot, "url").orderBy("url")
 
 
+def q_lm3_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid-Backoff LM scores (one step closer to CCNet's
+    5-gram filter), trained on the even-doc half; recursive backoff
+    decays one alpha per shortened context; integer micro-unit sums keep
+    the hash compare exact."""
+    from fuzzy_search_spark.pipeline.lm import (score_documents_trigram,
+                                                train_trigram_lm)
+
+    docs = _docs(spark, sf_dir)
+    uni, bi, tri, tot = train_trigram_lm(
+        docs.filter(F.col("doc_id") % 2 == 0))
+    return (score_documents_trigram(docs, uni, bi, tri, tot)
+            .orderBy("doc_id"))
+
+
 def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET sink round-trip: extracted text -> WARC 'conversion' records
     (member-gzip, md5-balanced file assignment) -> parse back.  Every
@@ -1346,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_directives": q_crawl_directives,
         "warc_ingest": q_warc_ingest,
         "lm_doc_scores": q_lm_doc_scores,
+        "lm3_doc_scores": q_lm3_doc_scores,
         "wet_roundtrip": q_wet_roundtrip,
         "robots_admission": q_robots_admission,
         "fix_mojibake": q_fix_mojibake,
@@ -2567,6 +2583,94 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                    md5(coalesce(text, '')) AS text_md5
             FROM documents ORDER BY url
+        """,
+        "lm3_doc_scores": r"""
+            WITH tr AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents WHERE doc_id % 2 = 0
+            ), pp AS (
+              SELECT list_prepend('<s>', list_prepend('<s>', t)) AS p
+              FROM tr
+            ), uni AS (
+              SELECT u AS w, count(*)::BIGINT AS c
+              FROM tr, unnest(t) AS z(u) GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT sum(c) FROM uni) AS T,
+                     (SELECT count(*) FROM uni) AS V,
+                     (SELECT count(*) FROM tr) AS ndocs
+            ), bi AS (
+              SELECT g, count(*)::BIGINT AS c12
+              FROM (SELECT unnest([p[i] || ' ' || p[i+1]
+                                   for i in range(1, greatest(len(p), 1))])
+                             AS g FROM pp)
+              GROUP BY 1
+            ), tri AS (
+              SELECT g, count(*)::BIGINT AS c123
+              FROM (SELECT unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2]
+                                   for i in range(1,
+                                       greatest(len(p) - 1, 1))])
+                             AS g FROM pp)
+              GROUP BY 1
+            ), bic AS (
+              SELECT b.g, b.c12, coalesce(u.c, t.ndocs) AS c1
+              FROM bi b
+              LEFT JOIN uni u ON u.w = split_part(b.g, ' ', 1)
+              CROSS JOIN tot t
+            ), tric AS (
+              SELECT r.g, r.c123, coalesce(b.c12, t.ndocs) AS c12
+              FROM tri r
+              LEFT JOIN bi b
+                ON b.g = split_part(r.g, ' ', 1) || ' '
+                         || split_part(r.g, ' ', 2)
+              CROSS JOIN tot t
+            ), grams AS (
+              SELECT doc_id,
+                     unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2]
+                             for i in range(1, greatest(len(p) - 1, 1))])
+                       AS g
+              FROM (SELECT doc_id,
+                           list_prepend('<s>', list_prepend('<s>',
+                             regexp_extract_all(lower(text), '\w+'))) AS p
+                    FROM documents)
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(round((CASE
+                       WHEN t3.c123 IS NOT NULL
+                         THEN log10(t3.c123 / t3.c12::DOUBLE)
+                       WHEN b2.c12 IS NOT NULL
+                         THEN log10(0.4 * b2.c12 / b2.c1)
+                       WHEN u3.c IS NOT NULL
+                         THEN log10((0.4 * 0.4) * (u3.c + 1)
+                                    / (tt.T + tt.V + 1.0))
+                       ELSE log10((0.4 * 0.4) / (tt.T + tt.V + 1.0))
+                     END) * 1000000.0) AS BIGINT) AS micro
+              FROM grams
+              LEFT JOIN tric t3 ON t3.g = grams.g
+              LEFT JOIN bic b2
+                ON b2.g = split_part(grams.g, ' ', 2) || ' '
+                          || split_part(grams.g, ' ', 3)
+              LEFT JOIN uni u3 ON u3.w = split_part(grams.g, ' ', 3)
+              CROSS JOIN tot tt
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_scored,
+                     sum(micro)::BIGINT AS sum_logp_micro
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_scored, 0) AS n_scored,
+                   coalesce(a.sum_logp_micro, 0) AS sum_logp_micro,
+                   (CASE WHEN coalesce(a.n_scored, 0) > 0
+                         THEN CAST(round(a.sum_logp_micro
+                                         / a.n_scored::DOUBLE) AS BIGINT)
+                         ELSE 0 END) / 1000000.0 AS avg_logp,
+                   round(pow(10.0,
+                     -((CASE WHEN coalesce(a.n_scored, 0) > 0
+                             THEN CAST(round(a.sum_logp_micro
+                                             / a.n_scored::DOUBLE)
+                                       AS BIGINT)
+                             ELSE 0 END) / 1000000.0)), 4) AS perplexity
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "lm_doc_scores": r"""
             WITH tr AS (

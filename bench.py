@@ -124,7 +124,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 3d: crawl sinks, media codecs, normalization
              "wet_roundtrip", "normalize_nfc", "host_page_cap",
              "gif_frame_features", "jpeg_features", "avi_frame_features",
-             "video_metadata", "corpus_profile"]
+             "video_metadata", "corpus_profile", "lm3_doc_scores",
+             "crawl_delta", "assign_splits", "sitemap_entries"]
     qmap = entry.queries()
     out = {}
     for name in names:

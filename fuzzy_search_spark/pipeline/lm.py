@@ -128,3 +128,118 @@ def score_documents(docs: DataFrame, unigrams: DataFrame,
                    avg.alias("avg_logp")))
     return out.withColumn(
         "perplexity", F.round(F.pow(F.lit(10.0), -F.col("avg_logp")), 4))
+
+
+def _padded2_arrays(text_col: str):
+    """Double-<s>-padded token array (trigram padding)."""
+    return F.concat(F.array(F.lit(BOS), F.lit(BOS)), _tokens(text_col))
+
+
+def _grams_from(padded, n: int):
+    """'w1 .. wn' string keys over a padded array via zip_with shifts."""
+    size = F.size(padded)
+    out = F.slice(padded, 1, size - (n - 1))
+    for k in range(1, n):
+        out = F.zip_with(out, F.slice(padded, 1 + k, size - (n - 1)),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def train_trigram_lm(docs: DataFrame, text_col: str = "text"):
+    """Trigram Stupid-Backoff LM (one step closer to CCNet's 5-gram
+    filter, same distributed machinery as :func:`train_bigram_lm`):
+    returns ``(unigrams, bigrams, trigrams, totals)`` where every n-gram
+    table carries its context count (``bigrams(g2, c12, c1)`` keyed by
+    'w1 w2'; ``trigrams(g3, c123, c12)`` keyed by 'w1 w2 w3'), padding
+    is a double ``<s>`` so the first real token scores under the
+    '<s> <s>' context, and BOS context counts equal the training
+    document count."""
+    padded = _padded2_arrays(text_col)
+
+    toks = docs.select(F.explode(_tokens(text_col)).alias("w"))
+    unigrams = toks.groupBy("w").agg(F.count("*").alias("c"))
+
+    # bigram counts over the DOUBLE-padded stream: '<s> <s>' and
+    # '<s> w' contexts both exist for the trigram numerators
+    bi = (docs.select(F.explode(_grams_from(padded, 2)).alias("g"))
+          .groupBy("g").agg(F.count("*").alias("c12")))
+    tri = (docs.select(F.explode(_grams_from(padded, 3)).alias("g"))
+           .groupBy("g").agg(F.count("*").alias("c123")))
+
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w1 = F.split(F.col("g"), " ", 2).getItem(0)
+    bigrams = (bi.withColumn("w1", w1)
+               .join(unigrams.withColumnRenamed("w", "w1")
+                     .withColumnRenamed("c", "uc"), "w1", "left")
+               .crossJoin(F.broadcast(n_docs))
+               .select("g", "c12",
+                       F.coalesce("uc", "n_docs").alias("c1")))
+    # trigram context = leading bigram; '<s> <s>' context count = n_docs
+    ctx = F.concat_ws(" ", F.split(F.col("g"), " ", 3).getItem(0),
+                      F.split(F.col("g"), " ", 3).getItem(1))
+    trigrams = (tri.withColumn("ctx", ctx)
+                .join(bi.select(F.col("g").alias("ctx"),
+                                F.col("c12").alias("cc")), "ctx", "left")
+                .crossJoin(F.broadcast(n_docs))
+                .select("g", "c123",
+                        F.coalesce("cc", "n_docs").alias("c12")))
+
+    totals = (unigrams.agg(F.sum("c").alias("train_tokens"),
+                           F.count("*").alias("vocab_size"))
+              .crossJoin(F.broadcast(n_docs)))
+    return unigrams, bigrams, trigrams, totals
+
+
+def score_documents_trigram(docs: DataFrame, unigrams: DataFrame,
+                            bigrams: DataFrame, trigrams: DataFrame,
+                            totals: DataFrame, alpha: float = 0.4,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Per-document trigram Stupid-Backoff scores: for token ``w3`` with
+    context ``w1 w2``: ``c123/c12``, else ``alpha * (c23/c2)``, else
+    ``alpha^2 * (c(w3)+1)/(T+V+1)`` (recursive backoff — unseen mass
+    decays one alpha per shortened context).  Same exact integer
+    micro-unit accumulation as the bigram scorer."""
+    padded = _padded2_arrays(text_col)
+    tris = docs.select(F.col(id_col),
+                       F.explode(_grams_from(padded, 3)).alias("g"))
+    parts = F.split(F.col("g"), " ", 3)
+    g2 = F.concat_ws(" ", parts.getItem(1), parts.getItem(2))
+    w3 = parts.getItem(2)
+    scored = (tris
+              .join(trigrams, "g", "left")
+              .withColumn("g2", g2)
+              .join(bigrams.select(F.col("g").alias("g2"),
+                                   F.col("c12").alias("c23"),
+                                   F.col("c1").alias("c2")), "g2", "left")
+              .withColumn("w3", w3)
+              .join(unigrams.withColumnRenamed("w", "w3")
+                    .withColumnRenamed("c", "c3"), "w3", "left")
+              .crossJoin(F.broadcast(totals)))
+    denom = F.col("train_tokens") + F.col("vocab_size") + F.lit(1.0)
+    logp = (F.when(F.col("c123").isNotNull(),
+                   F.log10(F.col("c123") / F.col("c12")))
+            .when(F.col("c23").isNotNull(),
+                  F.log10(F.lit(alpha) * F.col("c23") / F.col("c2")))
+            .when(F.col("c3").isNotNull(),
+                  F.log10(F.lit(alpha * alpha) * (F.col("c3") + 1)
+                          / denom))
+            .otherwise(F.log10(F.lit(alpha * alpha) / denom)))
+    micro = F.round(logp * 1e6).cast("long")
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count("*").alias("n_scored"),
+                    F.sum(micro).alias("sum_logp_micro")))
+    avg_micro = F.when(
+        F.col("n_scored") > 0,
+        F.round(F.col("sum_logp_micro") / F.col("n_scored")).cast("long")
+    ).otherwise(F.lit(0))
+    avg = avg_micro / 1e6
+    out = (docs.select(id_col)
+           .join(per_doc, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+                   F.coalesce("sum_logp_micro", F.lit(0))
+                   .alias("sum_logp_micro"),
+                   avg.alias("avg_logp")))
+    return out.withColumn(
+        "perplexity", F.round(F.pow(F.lit(10.0), -F.col("avg_logp")), 4))

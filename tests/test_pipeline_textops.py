@@ -771,3 +771,62 @@ def test_assign_splits_deterministic_and_growth_stable(spark):
     plan = assign_splits(docs, w)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_trigram_hand_computed(spark):
+    """Trigram stupid backoff against hand math: seen-trigram,
+    bigram-backoff, unigram-backoff and OOV paths; recursive alpha decay;
+    empty docs survive zeroed."""
+    import math
+
+    from fuzzy_search_spark.pipeline.lm import (score_documents_trigram,
+                                                train_trigram_lm)
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran"), (4, "")],
+        "doc_id long, text string")
+    uni, bi, tri, tot = train_trigram_lm(train)
+    assert sorted((r.g, r.c123, r.c12) for r in tri.collect()) == [
+        ("<s> <s> the", 2, 3), ("<s> the cat", 2, 2),
+        ("the cat ran", 1, 2), ("the cat sat", 1, 2)]
+
+    score = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat"), (9, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           score_documents_trigram(score, uni, bi, tri, tot).collect()}
+    a, D = 0.4, 6 + 4 + 1
+    # doc 0: all trigrams seen: 2/3, 2/2, 1/2
+    exp0 = (round(math.log10(2 / 3) * 1e6) + 0
+            + round(math.log10(0.5) * 1e6))
+    assert out[0].sum_logp_micro == exp0
+    # doc 1: (<s> <s> the) seen 2/3; (<s> the dog) OOV word -> a^2/D;
+    # (the dog sat): tri+bi unseen, sat seen c=1 -> a^2 * 2/D
+    exp1 = (round(math.log10(2 / 3) * 1e6)
+            + round(math.log10(a * a / D) * 1e6)
+            + round(math.log10(a * a * 2 / D) * 1e6))
+    assert out[1].sum_logp_micro == exp1
+    assert (out[9].n_scored, out[9].sum_logp_micro,
+            out[9].perplexity) == (0, 0, 1.0)
+
+
+def test_lm_trigram_bigram_backoff_path(spark):
+    """A seen bigram under an unseen trigram context takes alpha * c/c."""
+    import math
+
+    from fuzzy_search_spark.pipeline.lm import (score_documents_trigram,
+                                                train_trigram_lm)
+
+    train = spark.createDataFrame(
+        [(0, "a b c"), (2, "x b c")], "doc_id long, text string")
+    uni, bi, tri, tot = train_trigram_lm(train)
+    # scoring "q b c": (<s> <s> q) OOV; (<s> q b) tri+bi('q b') unseen,
+    # b seen; (q b c): trigram unseen, bigram 'b c' seen c=2 ctx c(b)=2
+    out = score_documents_trigram(
+        spark.createDataFrame([(1, "q b c")], "doc_id long, text string"),
+        uni, bi, tri, tot).collect()[0]
+    a, D = 0.4, 6 + 4 + 1    # T=6 tokens, V=4 ({a, b, c, x})
+    exp = (round(math.log10(a * a / D) * 1e6)              # q OOV
+           + round(math.log10(a * a * (2 + 1) / D) * 1e6)  # b unigram
+           + round(math.log10(a * 2 / 2) * 1e6))           # bigram 'b c'
+    assert out.sum_logp_micro == exp
