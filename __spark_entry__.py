@@ -1337,70 +1337,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered for driver CORRECTNESS coverage: the r3 gate recorded
+    only the first 50 dict entries, so queries the driver has never (or
+    least recently) verified come first — (A) the 13 never-checked, (B)
+    the 3 whose oracles had wide-type hash bugs fixed in r4, (C) the 19
+    last checked in r2, (D) the r3-green remainder, cheap before heavy
+    so a time-truncated sweep still maximizes coverage."""
     return {
-        "fuzzy_match": q_fuzzy_match,
-        "token_fuzzy_match": q_token_fuzzy_match,
-        "context_matches": q_context_matches,
-        "template_matches": q_template_matches,
-        "exact_match_counts": q_exact_match_counts,
-        "match_annotations": q_match_annotations,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "language_id": q_language_id,
-        "fingerprints": q_fingerprints,
-        "duplicate_spans": q_duplicate_spans,
-        "boilerplate_ratio": q_boilerplate_ratio,
-        "repetition_signals": q_repetition_signals,
-        "decontaminate": q_decontaminate,
-        "pii_scan": q_pii_scan,
-        "url_dedup": q_url_dedup,
-        "extract_links": q_extract_links,
-        "link_graph": q_link_graph,
-        "pagerank_hosts": q_pagerank_hosts,
-        "anchor_text_index": q_anchor_text_index,
-        "crawl_directives": q_crawl_directives,
-        "warc_ingest": q_warc_ingest,
-        "lm_doc_scores": q_lm_doc_scores,
-        "lm3_doc_scores": q_lm3_doc_scores,
-        "wet_roundtrip": q_wet_roundtrip,
-        "robots_admission": q_robots_admission,
-        "fix_mojibake": q_fix_mojibake,
-        "host_page_cap": q_host_page_cap,
-        "normalize_nfc": q_normalize_nfc,
-        "strip_dup_paragraphs": q_strip_dup_paragraphs,
-        "mixture_plan": q_mixture_plan,
-        "corpus_sample": q_corpus_sample,
-        "packing_plan": q_packing_plan,
-        "subword_token_stats": q_subword_token_stats,
-        "bpe_token_counts": q_bpe_token_counts,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "near_duplicates": q_near_duplicates,
-        "incremental_near_dups": q_incremental_near_dups,
-        "near_dup_groups": q_near_dup_groups,
-        "corpus_clean": q_corpus_clean,
-        "best_representatives": q_best_representatives,
-        "corpus_clean_best": q_corpus_clean_best,
-        "simhash": q_simhash,
-        "simhash_fast": q_simhash_fast,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_metadata": q_media_metadata,
-        "image_features": q_image_features,
+        # -- (A) never driver-checked before r4 ---------------------------
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
         "jpeg_features": q_jpeg_features,
         "avi_frame_features": q_avi_frame_features,
         "video_metadata": q_video_metadata,
+        "audio_features": q_audio_features,
         "corpus_profile": q_corpus_profile,
         "crawl_delta": q_crawl_delta,
         "assign_splits": q_assign_splits,
         "sitemap_entries": q_sitemap_entries,
-        "audio_features": q_audio_features,
+        "tfidf_topk": q_tfidf_topk,
+        "quantize_embeddings": q_quantize_embeddings,
+        "ann_ivf_top10": q_ann_ivf_top10,
+        # -- (B) r3 hash-red, oracle CASTs fixed in r4 --------------------
+        "mixture_plan": q_mixture_plan,
+        "packing_plan": q_packing_plan,
+        "anchor_text_index": q_anchor_text_index,
+        # -- (C) last driver-checked in r2 --------------------------------
         "ngram_top50": q_ngram_top50,
         "llr_keywords": q_llr_keywords,
-        "tfidf_topk": q_tfidf_topk,
         "ngram_probabilities": q_ngram_probabilities,
         "skipgram_similarity": q_skipgram_similarity,
         "close_term_pairs": q_close_term_pairs,
@@ -1412,14 +1376,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spelling_links": q_spelling_links,
         "regex_entities": q_regex_entities,
         "patterns_in_context": q_patterns_in_context,
-        "quantize_embeddings": q_quantize_embeddings,
         "ann_cosine_top10": q_ann_cosine_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
-        "ann_ivf_top10": q_ann_ivf_top10,
         "ann_centroid_top5": q_ann_centroid_top5,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_running_value": q_events_running_value,
+        # -- (D) r3-green, ascending cost ---------------------------------
+        "url_dedup": q_url_dedup,
+        "host_page_cap": q_host_page_cap,
+        "corpus_sample": q_corpus_sample,
+        "fix_mojibake": q_fix_mojibake,
+        "link_graph": q_link_graph,
+        "subword_token_stats": q_subword_token_stats,
+        "extract_links": q_extract_links,
+        "crawl_directives": q_crawl_directives,
+        "strip_dup_paragraphs": q_strip_dup_paragraphs,
+        "normalize_nfc": q_normalize_nfc,
+        "bpe_token_counts": q_bpe_token_counts,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprints": q_fingerprints,
+        "pii_scan": q_pii_scan,
+        "wet_roundtrip": q_wet_roundtrip,
+        "token_fuzzy_match": q_token_fuzzy_match,
+        "exact_match_counts": q_exact_match_counts,
+        "match_annotations": q_match_annotations,
+        "warc_ingest": q_warc_ingest,
+        "robots_admission": q_robots_admission,
+        "fuzzy_match": q_fuzzy_match,
+        "context_matches": q_context_matches,
+        "template_matches": q_template_matches,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "simhash_fast": q_simhash_fast,
+        "lm_doc_scores": q_lm_doc_scores,
+        "pagerank_hosts": q_pagerank_hosts,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "decontaminate": q_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "media_metadata": q_media_metadata,
+        "image_features": q_image_features,
+        "boilerplate_ratio": q_boilerplate_ratio,
+        "incremental_near_dups": q_incremental_near_dups,
+        "near_duplicates": q_near_duplicates,
+        "lm3_doc_scores": q_lm3_doc_scores,
+        "repetition_signals": q_repetition_signals,
+        "near_dup_groups": q_near_dup_groups,
+        "best_representatives": q_best_representatives,
+        "corpus_clean": q_corpus_clean,
+        "corpus_clean_best": q_corpus_clean_best,
     }
 
 
@@ -2265,13 +2275,14 @@ def oracle_sql() -> dict[str, str]:
                                     ('src2', 0.125), ('src3', 0.125))
             ), s AS (
               SELECT source, count(*) AS n_docs,
-                     sum(len(regexp_split_to_array(text, '\s+')))
-                       AS n_tokens
+                     CAST(sum(len(regexp_split_to_array(text, '\s+')))
+                          AS BIGINT) AS n_tokens
               FROM documents GROUP BY source
             )
             SELECT s.source, n_docs, n_tokens,
-                   round(w.w * 2000.0, 6) AS target_tokens,
-                   round(least(1.0, round(w.w * 2000.0, 6) / n_tokens), 6)
+                   round(CAST(w.w AS DOUBLE) * 2000.0, 6) AS target_tokens,
+                   round(least(1.0, round(CAST(w.w AS DOUBLE) * 2000.0, 6)
+                                    / n_tokens), 6)
                      AS rate
             FROM s JOIN w ON s.source = w.source
             ORDER BY s.source
@@ -2305,15 +2316,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, o % 8 AS shard, o, n_tokens,
                      row_number() OVER (PARTITION BY o % 8
                                         ORDER BY o, doc_id) - 1 AS pos,
-                     sum(n_tokens) OVER (PARTITION BY o % 8
-                                         ORDER BY o, doc_id
-                                         ROWS UNBOUNDED PRECEDING)
-                       - n_tokens AS start_tok
+                     CAST(sum(n_tokens) OVER (PARTITION BY o % 8
+                                              ORDER BY o, doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          - n_tokens AS BIGINT) AS start_tok
               FROM b
             )
             SELECT doc_id, shard, pos, n_tokens, start_tok,
                    CAST(floor(start_tok / 512) AS BIGINT) AS bin_id,
-                   start_tok % 512 AS bin_offset
+                   CAST(start_tok % 512 AS BIGINT) AS bin_offset
             FROM w ORDER BY doc_id
         """,
         "url_dedup": r"""
@@ -2432,8 +2443,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT canonical_href, anchor, c,
                      row_number() OVER (PARTITION BY canonical_href
                                         ORDER BY c DESC, anchor ASC) AS rn,
-                     sum(c) OVER (PARTITION BY canonical_href)
-                       AS n_mentions,
+                     CAST(sum(c) OVER (PARTITION BY canonical_href)
+                          AS BIGINT) AS n_mentions,
                      count(*) OVER (PARTITION BY canonical_href)
                        AS n_anchors
               FROM counts
@@ -2528,7 +2539,7 @@ def oracle_sql() -> dict[str, str]:
             ), r AS (
               SELECT doc_id, url, host,
                      row_number() OVER (PARTITION BY host
-                                        ORDER BY md5(url), url)
+                                        ORDER BY md5(url), url, doc_id)
                        AS host_rank
               FROM u
             )
@@ -2954,11 +2965,11 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY top_lang_docs DESC, lang DESC LIMIT 1
             )
             SELECT count(*) AS docs,
-                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 6) AS mean_tokens,
                    quantile_cont(n_tokens, 0.5) AS p50_tokens,
                    quantile_cont(n_tokens, 0.9) AS p90_tokens,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(DISTINCT lang) AS n_langs,
                    (SELECT top_lang FROM top) AS top_lang,
                    round((SELECT top_lang_docs FROM top)

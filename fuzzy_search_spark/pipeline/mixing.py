@@ -182,7 +182,10 @@ def assign_splits(df: DataFrame, weights=None, id_col: str = "doc_id",
     names = list(weights)
     for name in names[:-1]:
         acc += float(weights[name])
-        cutoff = int(acc * BUCKETS)
+        # round, don't truncate: float accumulation (0.7 + 0.15 =
+        # 0.8499999999999999) would otherwise shift a whole bucket of
+        # documents into the wrong split.
+        cutoff = int(round(acc * BUCKETS))
         branch = (F.when(bucket < cutoff, F.lit(name)) if expr is None
                   else expr.when(bucket < cutoff, F.lit(name)))
         expr = branch

@@ -427,11 +427,10 @@ def fix_mojibake(df: DataFrame, id_col: str = "doc_id",
         .otherwise(t)
     return df.select(
         F.col(id_col),
-        (fixed != t).alias("was_mojibake"),
+        # coalesce: (fixed != t) null-propagates for NULL text, and a
+        # NULL flag would silently drop those rows from filter(~flag).
+        F.coalesce(fixed != t, F.lit(False)).alias("was_mojibake"),
         fixed.alias("text_fixed"))
-
-
-NFC_SCHEMA = "doc_id long, changed boolean, text_nfc string"
 
 
 def normalize_nfc(df: DataFrame, id_col: str = "doc_id",
@@ -461,12 +460,16 @@ def normalize_nfc(df: DataFrame, id_col: str = "doc_id",
                 lambda s: unicodedata.normalize("NFC", s)
                 if s is not None else None)
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "changed": nfc.ne(texts) & texts.notna(),
                 "text_nfc": nfc,
             })
 
-    return df.select(id_col, text_col).mapInPandas(process, NFC_SCHEMA)
+    # schema follows the caller's id column (name AND type) instead of
+    # hardcoding doc_id/long, which silently renamed + cast foreign ids.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, changed boolean, text_nfc string"
+    return df.select(id_col, text_col).mapInPandas(process, schema)
 
 
 def corpus_profile(df: DataFrame, id_col: str = "doc_id",

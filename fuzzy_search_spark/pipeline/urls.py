@@ -95,7 +95,10 @@ def host_page_cap(df: DataFrame, max_pages_per_host: int = 1000,
     ranked = df.select(
         F.col(id_col), F.col(url_col), host.alias("host"),
         F.md5(F.col(url_col)).alias("_ord"))
-    w = Window.partitionBy("host").orderBy("_ord", url_col)
+    # id_col breaks ties between duplicate URLs (same URL fetched twice):
+    # without it the rank — and therefore WHICH fetch lands under the cap
+    # — would be partition-order-dependent across re-runs.
+    w = Window.partitionBy("host").orderBy("_ord", url_col, id_col)
     return (ranked
             .withColumn("host_rank", F.row_number().over(w))
             .select(id_col, url_col, "host", "host_rank",

@@ -276,13 +276,15 @@ def parse_sitemaps(df: DataFrame, host_col: str = "host",
     ``<sitemap>`` reference in an index file (kind ``sitemap``), with
     ``loc`` and the optional ``lastmod`` string.
 
-    Pure JVM column algebra: ``(?s)`` non-greedy block extraction +
-    per-block field regexes (both engines' regex dialects agree on this
-    subset), one posexplode — no shuffle beyond the explode itself,
+    Pure JVM column algebra: ``(?s)`` non-greedy block extraction (an
+    alternation of the two literal tag pairs — no backreference, so the
+    pattern stays portable to RE2-dialect engines) + per-block field
+    regexes, one posexplode — no shuffle beyond the explode itself,
     state bounded by a single sitemap file exactly like
     :func:`fuzzy_search_spark.pipeline.robots.parse_robots`."""
     blocks = F.regexp_extract_all(
-        F.col(xml_col), F.lit(r"(?s)<(url|sitemap)>(.*?)</\1>"), F.lit(0))
+        F.col(xml_col),
+        F.lit(r"(?s)<url>.*?</url>|<sitemap>.*?</sitemap>"), F.lit(0))
     exploded = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(blocks).alias("pos", "block"))
