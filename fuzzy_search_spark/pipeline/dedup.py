@@ -330,21 +330,35 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:
     """(node, label) connected components over an undirected pair set by
-    min-label propagation with POINTER DOUBLING: every node starts
-    labeled with itself; each round takes the min over its neighbors'
-    labels and then replaces its label with its label's label
-    (``label[x] <- label[label[x]]``).  The doubling step is valid
-    because labels are always node ids of the same component, so
-    chasing one pointer can only move toward the component minimum —
-    and it compresses chains geometrically, turning the classic
-    O(component diameter) round count into O(log diameter) (the
-    watch-item for path-shaped components at 10^12-doc scale; dense
-    template clusters still converge in 2-3 rounds either way).
+    min-label propagation with ADAPTIVE POINTER DOUBLING: every node
+    starts labeled with itself; each round takes the min over its
+    neighbors' labels, and — once the per-round changed-count shows
+    slow, chain-like convergence — additionally replaces its label with
+    its label's label (``label[x] <- label[label[x]]``).  The doubling
+    step is valid because labels are always node ids of the same
+    component, so chasing one pointer can only move toward the component
+    minimum — and it compresses chains geometrically, turning the
+    classic O(component diameter) round count into O(log diameter) (the
+    watch-item for path-shaped components at 10^12-doc scale).
 
-    Scale shape: two co-keyed joins + one hash aggregation per round,
-    each round localCheckpoint()ed so the lineage does not grow with
-    iterations (the classic iterative-Spark failure mode); the
-    convergence check is a single count of changed labels.
+    Doubling is adaptive because it costs one extra co-keyed exchange
+    per round, and the common case — dense template clusters — converges
+    in 2-3 plain rounds where that exchange is pure overhead (it
+    regressed near_dup_groups/corpus_clean 1.4x at bench scale when
+    unconditional).  The trigger: after the first round, if the changed
+    count fails to at least halve round-over-round, convergence is
+    diameter-bound (each plain round only moves labels one hop along a
+    chain, so `changed` decays by ~1/diameter, not geometrically) and
+    doubling switches on for all remaining rounds.  Dense inputs decay
+    fast and never pay for it; a 60-node chain engages doubling at round
+    2 and converges in 8 rounds.
+
+    Scale shape: one (or two, once doubling engages) co-keyed joins +
+    one hash aggregation per round, each round localCheckpoint()ed so
+    the lineage does not grow with iterations (the classic
+    iterative-Spark failure mode); the convergence check is a single
+    count of changed labels — the same job whose result drives the
+    doubling trigger, so adaptivity adds zero actions.
     ``max_iterations`` bounds pathological inputs; the loop exits early
     on fixpoint.  If the budget runs out first a warning is emitted —
     unconverged labels would otherwise silently split one true
@@ -358,6 +372,8 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
         .localCheckpoint(eager=True)
     )
     changed = 0
+    prev_changed = None
+    doubling = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels.select(F.col("node").alias("b"),
@@ -372,25 +388,30 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                             F.coalesce(F.col("nbr_min"), F.col("label")))
                     .alias("label"))
         )
-        # pointer doubling: label[x] <- min(label[x], label[label[x]]).
-        # Every label IS a node of the same table (labels start as self
-        # and only ever adopt other nodes' labels), so the parent lookup
-        # is a plain co-keyed self-join.
-        new_labels = (
-            stepped.join(
-                stepped.select(F.col("node").alias("label"),
-                               F.col("label").alias("parent_label")),
-                "label")
-            .select("node",
-                    F.least(F.col("label"), F.col("parent_label"))
-                    .alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        if doubling:
+            # pointer doubling: label[x] <- min(label[x], label[label[x]]).
+            # Every label IS a node of the same table (labels start as
+            # self and only ever adopt other nodes' labels), so the
+            # parent lookup is a plain co-keyed self-join.
+            stepped = (
+                stepped.join(
+                    stepped.select(F.col("node").alias("label"),
+                                   F.col("label").alias("parent_label")),
+                    "label")
+                .select("node",
+                        F.least(F.col("label"), F.col("parent_label"))
+                        .alias("label"))
+            )
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = (
             new_labels.select(F.col("node"), F.col("label").alias("new"))
             .join(labels, "node")
             .filter(F.col("new") != F.col("label")).count()
         )
+        if (not doubling and prev_changed is not None
+                and changed * 2 >= prev_changed and changed > 0):
+            doubling = True
+        prev_changed = changed
         labels = new_labels
         if changed == 0:
             break

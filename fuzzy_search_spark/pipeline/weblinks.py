@@ -134,7 +134,10 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
     hash aggregation onto the destination key, a broadcast one-row
     dangling-mass total, and a localCheckpoint to stop lineage growth —
     the CC loop's discipline.  Rank state is one row per node, never
-    collected to the driver.
+    collected to the driver; the node total rides along as a broadcast
+    one-row aggregate (the freq/spelling scalar-totals pattern), so the
+    only driver-side jobs are the eager checkpoints themselves — no
+    separate count() action.
     """
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"),
@@ -143,11 +146,12 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
              .unionAll(e.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
-    n_nodes = nodes.count()
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     outw = e.groupBy("src").agg(F.sum("w").alias("w_out"))
-    base = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn(
-        "rank", F.round(F.lit(1.0 / n_nodes), round_dp))
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+             .select("node",
+                     F.round(F.lit(1.0) / F.col("_n"), round_dp)
+                     .alias("rank")))
     for _ in range(iterations):
         contribs = (
             e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
@@ -164,10 +168,12 @@ def pagerank(edges: DataFrame, src_col: str = "src_host",
         ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_df))
             .select("node", F.round(
-                F.lit(base) + F.lit(damping)
+                (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                + F.lit(damping)
                 * (F.coalesce(F.col("_in"), F.lit(0.0))
-                   + F.col("_dm") / n_nodes),
+                   + F.col("_dm") / F.col("_n")),
                 round_dp).alias("rank"))
             .localCheckpoint(eager=True)
         )

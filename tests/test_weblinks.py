@@ -180,6 +180,28 @@ def test_pagerank_matches_python_and_conserves_mass(spark):
     assert got["a.com"] > got["c.com"] and got["b.com"] > got["d.com"]
 
 
+def test_pagerank_no_driver_count_action(spark, monkeypatch):
+    """The node total rides in the DAG as a broadcast one-row aggregate:
+    pagerank() construction never calls the count() driver action (the
+    eager localCheckpoints are the only jobs it is allowed to run)."""
+    from pyspark.sql import DataFrame
+
+    from fuzzy_search_spark.pipeline.weblinks import pagerank
+
+    df = spark.createDataFrame(
+        [("a.com", "b.com", 1), ("b.com", "c.com", 2)],
+        "src_host string, dst_host string, n_links long")
+
+    def boom(self):
+        raise AssertionError("count() called during pagerank construction")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    ranks = pagerank(df, iterations=3)
+    monkeypatch.undo()
+    total = sum(r.rank for r in ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
 def test_anchor_text_index_crafted(spark):
     from fuzzy_search_spark.pipeline.weblinks import anchor_text_index
 
