@@ -22,11 +22,17 @@ documents with two key-joins — no model file, no Python in the hot path:
   Plain float summation would be IEEE-order-dependent.
 
 Scale shape: training is two partial-aggregated groupBys (map-side
-combine); scoring shuffles the exploded pair stream twice (bigram key,
-unigram key).  Stopword keys are hot, but both joins are plain hash joins
-that AQE's skew-join splitting handles; for a fixed trusted LM the counts
-tables can instead be broadcast.  The reference library has no LM layer
-(builder-brief scope: training-data pipeline operators).
+combine); scoring joins the exploded gram stream against the count
+tables with a TWO-TIER SKEW GUARD: the top ``hot_k`` grams by count (the
+head of the Zipf curve — "the", "of the" — which at web scale would
+funnel a large fraction of the stream through a handful of shuffle
+partitions and can exceed any broadcast threshold as part of the full
+table) are broadcast and joined map-side, and only the rows that miss
+the hot tier shuffle against the full table — a stream whose keys are by
+construction tail grams, so the residual shuffle is skew-free.  AQE
+skew-join splitting remains as backstop for the tail.  The reference
+library has no LM layer (builder-brief scope: training-data pipeline
+operators).
 """
 
 from __future__ import annotations
@@ -51,6 +57,30 @@ def _padded_pairs(text_col: str):
     n = F.size(p)
     return F.zip_with(F.slice(p, 1, n - 1), F.slice(p, 2, n - 1),
                       lambda a, b: F.concat_ws(" ", a, b))
+
+
+def _two_tier_left(stream: DataFrame, table: DataFrame, key: str,
+                   hot_k: int) -> DataFrame:
+    """LEFT join ``stream`` against a count ``table`` on ``key`` with the
+    hot tier broadcast: the ``hot_k`` highest-count keys (ties broken by
+    key, so the tier is deterministic) join map-side; only rows that miss
+    the hot tier — tail keys by construction — shuffle against the full
+    table.  Exactly left-join semantics: every stream row appears once,
+    unmatched rows keep null payloads.  ``hot_k=0`` disables the guard
+    and degrades to the plain shuffle join."""
+    if hot_k <= 0:
+        return stream.join(table, key, "left")
+    payload = [c for c in table.columns if c != key]
+    count_col = payload[0]
+    hot = (table.orderBy(F.col(count_col).desc(), F.col(key))
+           .limit(hot_k)
+           .withColumn("_hot", F.lit(True)))
+    h = stream.join(F.broadcast(hot), key, "left")
+    hit = h.filter(F.col("_hot").isNotNull()).drop("_hot")
+    miss = (h.filter(F.col("_hot").isNull())
+            .drop("_hot", *payload)
+            .join(table, key, "left"))
+    return hit.unionByName(miss)
 
 
 def train_bigram_lm(docs: DataFrame, text_col: str = "text"
@@ -83,21 +113,25 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text"
 def score_documents(docs: DataFrame, unigrams: DataFrame,
                     bigrams: DataFrame, totals: DataFrame,
                     alpha: float = 0.4, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hot_k: int = 10_000) -> DataFrame:
     """Score every document under the trained LM.
 
     Returns ``(id, n_scored, sum_logp_micro, avg_logp, perplexity)`` where
     ``sum_logp_micro`` is the exact integer sum of per-token
     ``round(log10(p) * 1e6)`` (order-independent), ``avg_logp`` its mean
-    (0.0 for empty documents) and ``perplexity = 10^-avg_logp``."""
+    (0.0 for empty documents) and ``perplexity = 10^-avg_logp``.
+
+    Both count-table joins run through the two-tier skew guard
+    (``hot_k`` hottest keys broadcast, tail shuffled; 0 disables)."""
     pairs = docs.select(F.col(id_col),
                         F.explode(_padded_pairs(text_col)).alias("g"))
     w2 = F.split(F.col("g"), " ", 2).getItem(1)
-    scored = (pairs
-              .join(bigrams, "g", "left")
-              .withColumn("w2", w2)
-              .join(unigrams.withColumnRenamed("w", "w2")
-                    .withColumnRenamed("c", "c2"), "w2", "left")
+    scored = (_two_tier_left(pairs, bigrams, "g", hot_k)
+              .withColumn("w2", w2))
+    scored = (_two_tier_left(scored,
+                             unigrams.withColumnRenamed("w", "w2")
+                             .withColumnRenamed("c", "c2"), "w2", hot_k)
               .crossJoin(F.broadcast(totals)))
     denom = F.col("train_tokens") + F.col("vocab_size") + F.lit(1.0)
     logp = (F.when(F.col("c12").isNotNull(),
@@ -194,27 +228,32 @@ def score_documents_trigram(docs: DataFrame, unigrams: DataFrame,
                             bigrams: DataFrame, trigrams: DataFrame,
                             totals: DataFrame, alpha: float = 0.4,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            hot_k: int = 10_000) -> DataFrame:
     """Per-document trigram Stupid-Backoff scores: for token ``w3`` with
     context ``w1 w2``: ``c123/c12``, else ``alpha * (c23/c2)``, else
     ``alpha^2 * (c(w3)+1)/(T+V+1)`` (recursive backoff — unseen mass
     decays one alpha per shortened context).  Same exact integer
-    micro-unit accumulation as the bigram scorer."""
+    micro-unit accumulation as the bigram scorer; all three count-table
+    joins run through the two-tier skew guard (``hot_k`` hottest keys
+    broadcast, tail shuffled; 0 disables)."""
     padded = _padded2_arrays(text_col)
     tris = docs.select(F.col(id_col),
                        F.explode(_grams_from(padded, 3)).alias("g"))
     parts = F.split(F.col("g"), " ", 3)
     g2 = F.concat_ws(" ", parts.getItem(1), parts.getItem(2))
     w3 = parts.getItem(2)
-    scored = (tris
-              .join(trigrams, "g", "left")
-              .withColumn("g2", g2)
-              .join(bigrams.select(F.col("g").alias("g2"),
-                                   F.col("c12").alias("c23"),
-                                   F.col("c1").alias("c2")), "g2", "left")
-              .withColumn("w3", w3)
-              .join(unigrams.withColumnRenamed("w", "w3")
-                    .withColumnRenamed("c", "c3"), "w3", "left")
+    scored = (_two_tier_left(tris, trigrams, "g", hot_k)
+              .withColumn("g2", g2))
+    scored = (_two_tier_left(scored,
+                             bigrams.select(F.col("g").alias("g2"),
+                                            F.col("c12").alias("c23"),
+                                            F.col("c1").alias("c2")),
+                             "g2", hot_k)
+              .withColumn("w3", w3))
+    scored = (_two_tier_left(scored,
+                             unigrams.withColumnRenamed("w", "w3")
+                             .withColumnRenamed("c", "c3"), "w3", hot_k)
               .crossJoin(F.broadcast(totals)))
     denom = F.col("train_tokens") + F.col("vocab_size") + F.lit(1.0)
     logp = (F.when(F.col("c123").isNotNull(),

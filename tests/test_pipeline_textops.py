@@ -612,7 +612,9 @@ def test_lm_backoff_seen_unigram_path(spark):
 def test_lm_plan_shape(spark):
     """LM training + scoring stays JVM-side: zero SortAggregates (numeric
     agg buffers), no Python stage, and no per-doc Window — pair
-    construction is zip_with over shifted slices."""
+    construction is zip_with over shifted slices.  The two-tier skew
+    guard must surface as a BroadcastHashJoin (the hot-gram tier joins
+    map-side; only tail-gram rows shuffle)."""
     from fuzzy_search_spark.pipeline.lm import (score_documents,
                                                 train_bigram_lm)
 
@@ -623,6 +625,33 @@ def test_lm_plan_shape(spark):
     assert "SortAggregate" not in plan
     assert "Python" not in plan
     assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # hot tier of the skew guard
+
+
+def test_lm_two_tier_equivalence(spark):
+    """The skew guard is a pure execution-strategy change: scores with
+    the hot tier enabled (even a tiny hot_k that splits the stream into
+    both tiers) match the plain shuffle-join path row for row, for both
+    the bigram and trigram scorers."""
+    from fuzzy_search_spark.pipeline.lm import (score_documents,
+                                                score_documents_trigram,
+                                                train_bigram_lm,
+                                                train_trigram_lm)
+
+    docs = _docs(spark)
+    uni, big, tot = train_bigram_lm(docs)
+    plain = sorted(map(tuple, score_documents(
+        docs, uni, big, tot, hot_k=0).collect()))
+    tiered = sorted(map(tuple, score_documents(
+        docs, uni, big, tot, hot_k=3).collect()))
+    assert plain == tiered
+
+    uni3, big3, tri3, tot3 = train_trigram_lm(docs)
+    plain3 = sorted(map(tuple, score_documents_trigram(
+        docs, uni3, big3, tri3, tot3, hot_k=0).collect()))
+    tiered3 = sorted(map(tuple, score_documents_trigram(
+        docs, uni3, big3, tri3, tot3, hot_k=3).collect()))
+    assert plain3 == tiered3
 
 
 def test_fix_mojibake_crafted(spark):
