@@ -924,6 +924,27 @@ def q_avi_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "frame_index")
 
 
+def q_mp4_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL modern-container decode end-to-end: each document gets a
+    Motion-JPEG mp4 (ISO BMFF with a full stsd/stts/stsc/stsz/stco
+    sample table) whose frame i is the same DC-exact constant-block
+    grayscale JPEG as the AVI fixture — the box-tree walk + huffman +
+    IDCT reproduce the pixels exactly, so a real mp4 is hash-checkable;
+    only codec-bound payloads (H.264/VP9) remain faked."""
+    from fuzzy_search_spark.pipeline.multimodal import (
+        synth_mp4_mjpeg_payload,
+        video_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 9)
+    feats = video_frame_features(synth_mp4_mjpeg_payload(docs, n_frames=3),
+                                 n_frames=3)
+    return feats.select(
+        "url", "n_frames", "frame_index", "height", "width",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+    ).orderBy("url", "frame_index")
+
+
 def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode end-to-end through a LOSSY format: each document gets
     a baseline grayscale JPEG of four constant 8x8 blocks (values =
@@ -1345,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so a time-truncated sweep still maximizes coverage."""
     return {
         # -- (A) never driver-checked before r4 ---------------------------
+        "mp4_frame_features": q_mp4_frame_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
         "jpeg_features": q_jpeg_features,
@@ -2992,6 +3014,30 @@ def oracle_sql() -> dict[str, str]:
         "avi_frame_features": """
             WITH docs AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+            ), fr AS (
+              SELECT doc_id, CAST(f AS INT) AS f,
+                     sha256(text || '|v' || CAST(f AS VARCHAR)) AS sha
+              FROM docs, (SELECT unnest(generate_series(0, 2)) AS f)
+            ), b AS (
+              SELECT doc_id, f,
+                     CAST('0x' || substr(sha, 1, 2) AS INT) AS b0,
+                     CAST('0x' || substr(sha, 3, 2) AS INT) AS b1,
+                     CAST('0x' || substr(sha, 5, 2) AS INT) AS b2,
+                     CAST('0x' || substr(sha, 7, 2) AS INT) AS b3
+              FROM fr
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS url,
+                   3 AS n_frames, f AS frame_index,
+                   16 AS height, 16 AS width,
+                   round((b0 + b1 + b2 + b3) / 4.0, 6) AS mean_r
+            FROM b ORDER BY url, frame_index
+        """,
+        # Motion-JPEG-in-MP4: identical per-frame construction to the AVI
+        # fixture (sha256(text|vi)[:4] constant blocks, DC-exact), packed
+        # in an ISO BMFF sample table instead of a RIFF movi list
+        "mp4_frame_features": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
             ), fr AS (
               SELECT doc_id, CAST(f AS INT) AS f,
                      sha256(text || '|v' || CAST(f AS VARCHAR)) AS sha

@@ -1175,6 +1175,142 @@ _MP4_UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000,
                                 0, 0, 0, 0x40000000)
 
 
+_MJPEG_FOURCCS = (b"mjpa", b"mjpb", b"jpeg", b"MJPG", b"mjpg", b"AVDJ")
+
+
+def encode_mp4_mjpeg(jpeg_frames, width: int, height: int,
+                     timescale: int = 1000, frame_ms: int = 100) -> bytes:
+    """REAL Motion-JPEG-in-MP4 writer: ftyp + moov with a full sample
+    table (stsd ``mjpa`` entry, stts, stsc, stsz, stco) + an mdat whose
+    samples are the pre-encoded JPEG frames laid out as one contiguous
+    chunk.  The stco offset is resolved with the classic two-pass trick
+    (build moov with a placeholder, rebuild with the real offset — the
+    box size does not change).  Twin of :func:`decode_mp4_mjpeg`."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    n = len(jpeg_frames)
+    frame_dur = frame_ms * timescale // 1000
+    dur = n * frame_dur
+    mdat_body = b"".join(jpeg_frames)
+
+    def build_moov(chunk_off: int) -> bytes:
+        mvhd = box(b"mvhd", bytes(4) + struct.pack(">IIII", 0, 0,
+                                                   timescale, dur)
+                   + struct.pack(">i", 0x00010000)
+                   + struct.pack(">h", 0x0100)
+                   + bytes(10) + _MP4_UNITY_MATRIX + bytes(24)
+                   + struct.pack(">I", 2))
+        tkhd = box(b"tkhd", b"\x00\x00\x00\x07"
+                   + struct.pack(">IIII", 0, 0, 1, 0)
+                   + struct.pack(">I", dur) + bytes(8)
+                   + struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_UNITY_MATRIX
+                   + struct.pack(">II", width << 16, height << 16))
+        hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"video\x00")
+        entry = box(b"mjpa", bytes(6) + struct.pack(">H", 1) + bytes(16)
+                    + struct.pack(">HH", width, height) + bytes(50))
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stts = box(b"stts", bytes(4) + struct.pack(">III", 1, n,
+                                                   frame_dur))
+        stsc = box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n, 1))
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n)
+                   + b"".join(struct.pack(">I", len(f))
+                              for f in jpeg_frames))
+        stco = box(b"stco", bytes(4) + struct.pack(">II", 1, chunk_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return box(b"moov", mvhd + trak)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    moov = build_moov(0)
+    chunk_off = len(ftyp) + len(moov) + 8       # +8 = mdat header
+    moov = build_moov(chunk_off)
+    return ftyp + moov + box(b"mdat", mdat_body)
+
+
+def decode_mp4_mjpeg(data: bytes):
+    """Decode the Motion-JPEG samples of an ISO BMFF (mp4/mov) payload
+    to HxWx3 uint8 RGB arrays — the ONE modern-container pixel path
+    stdlib+numpy can make real (every sample is a standalone baseline
+    JPEG; :func:`decode_jpeg` does the pixels).
+
+    Walks the box tree for the sample table: stsd must carry an MJPEG
+    fourcc (``mjpa``/``mjpb``/``jpeg``/``MJPG``; anything else — avc1,
+    vp09 … — raises ValueError, those genuinely need external codecs),
+    stsz gives per-sample sizes, stco/co64 the chunk offset.  Samples
+    are read contiguously from the first chunk (the layout
+    :func:`encode_mp4_mjpeg` writes and the common faststart layout);
+    undecodable individual frames are skipped, no frames raises."""
+    try:
+        frames = _decode_mp4_mjpeg(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed mp4: {exc}") from None
+    if not frames:
+        raise ValueError("mp4 with no decodable MJPEG samples")
+    return frames
+
+
+def _decode_mp4_mjpeg(data: bytes):
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF file")
+    info = {"codec": None, "sizes": None, "offset": None}
+
+    def walk(start: int, end: int, depth: int = 0):
+        pos = start
+        while pos + 8 <= end and depth < 10:
+            size, tag = struct.unpack(">I4s", data[pos:pos + 8])
+            if size == 1:
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size}")
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, pos + size, depth + 1)
+            elif tag == b"stsd" and info["codec"] is None:
+                n = struct.unpack(">I", data[body + 4:body + 8])[0]
+                if n >= 1:
+                    info["codec"] = data[body + 12:body + 16]
+            elif tag == b"stsz" and info["sizes"] is None:
+                fixed, cnt = struct.unpack(">II", data[body + 4:body + 12])
+                if fixed:
+                    info["sizes"] = [fixed] * cnt
+                else:
+                    info["sizes"] = list(struct.unpack(
+                        f">{cnt}I", data[body + 12:body + 12 + 4 * cnt]))
+            elif tag == b"stco" and info["offset"] is None:
+                cnt = struct.unpack(">I", data[body + 4:body + 8])[0]
+                if cnt >= 1:
+                    info["offset"] = struct.unpack(
+                        ">I", data[body + 8:body + 12])[0]
+            elif tag == b"co64" and info["offset"] is None:
+                cnt = struct.unpack(">I", data[body + 4:body + 8])[0]
+                if cnt >= 1:
+                    info["offset"] = struct.unpack(
+                        ">Q", data[body + 8:body + 16])[0]
+            pos += size
+
+    walk(0, len(data))
+    if info["codec"] not in _MJPEG_FOURCCS:
+        codec = (info["codec"] or b"?").decode("latin-1", "replace")
+        raise ValueError(f"mp4 codec {codec!r} is not MJPEG")
+    if not info["sizes"] or info["offset"] is None:
+        raise ValueError("mp4 sample table incomplete (stsz/stco)")
+    if info["offset"] + sum(info["sizes"]) > len(data):
+        raise ValueError("mp4 samples exceed file size")
+    frames, pos = [], info["offset"]
+    for size in info["sizes"]:
+        try:
+            frames.append(decode_jpeg(data[pos:pos + size]))
+        except ValueError:
+            pass                                # skip one bad frame
+        pos += size
+    return frames
+
+
 def parse_mp4_meta(data: bytes) -> dict:
     """Extract container metadata from an ISO BMFF (mp4/mov) payload:
     ``{duration_ms, width, height, codec}`` — the fields a corpus

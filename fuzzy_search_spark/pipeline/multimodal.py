@@ -1,12 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched mapInPandas.
 
-PNG, GIF (incl. animated), baseline JPEG and WAV payloads decode FOR
-REAL via the stdlib+numpy codecs in
-:mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
-unfilter; LZW + palette; huffman + dequant + IDCT; RIFF struct parse).
-Only real video containers (mp4/webm) — which genuinely need external
-codec libraries — remain STUBS with a deterministic fake behind
+PNG, GIF (incl. animated), baseline JPEG, WAV, AVI/MJPEG and
+Motion-JPEG-in-MP4 payloads decode FOR REAL via the stdlib+numpy codecs
+in :mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
+unfilter; LZW + palette; huffman + dequant + IDCT; RIFF struct parse;
+ISO BMFF sample-table walk).  Only codec-bound video payloads
+(H.264/VP9 in mp4, webm) — which genuinely need external codec
+libraries — remain STUBS with a deterministic fake behind
 ``FAKE_DECODE=True`` (and ``NotImplementedError`` otherwise);
 progressive JPEG is rejected as undecodable like any malformed row.
 The Spark-side plumbing is identical either way: schemas, batch
@@ -43,10 +44,11 @@ from fuzzy_search_spark.pipeline.codecs import (
     to_rgb,
 )
 
-#: governs only the formats with no stdlib codec (real video containers,
-#: mp4/webm): flip to False to surface NotImplementedError where a real
-#: codec belongs.  PNG, GIF, baseline JPEG and WAV always decode for real
-#: (progressive JPEG is rejected as undecodable, like any malformed row).
+#: governs only the payloads with no stdlib codec (H.264/VP9 in mp4,
+#: webm): flip to False to surface NotImplementedError where a real codec
+#: belongs.  PNG, GIF, baseline JPEG, WAV, AVI/MJPEG and MJPEG-in-MP4
+#: always decode for real (progressive JPEG is rejected as undecodable,
+#: like any malformed row).
 FAKE_DECODE = True
 
 _MAGIC = [
@@ -166,12 +168,15 @@ def _decode_image(payload: bytes) -> np.ndarray:
 def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
     """Frame sampler for animation/video payloads.
 
-    APNG, animated GIF and AVI/MJPEG decode FOR REAL (codecs.decode_apng
-    / decode_gif / decode_avi_mjpeg — the animation/container formats
-    stdlib+numpy can handle); the first ``n_frames`` frames are
-    returned.  Modern video containers (mp4/webm: H.264/VP9 payloads)
-    need external codecs and keep the deterministic fake (per-frame
+    APNG, animated GIF, AVI/MJPEG and Motion-JPEG-in-MP4 decode FOR
+    REAL (codecs.decode_apng / decode_gif / decode_avi_mjpeg /
+    decode_mp4_mjpeg — the animation/container formats stdlib+numpy can
+    handle); the first ``n_frames`` frames are returned.  Only
+    codec-bound video payloads (H.264/VP9 in mp4, webm) genuinely need
+    external codec libraries and keep the deterministic fake (per-frame
     sha256 thumbnails) behind ``FAKE_DECODE``."""
+    from fuzzy_search_spark.pipeline.codecs import decode_mp4_mjpeg
+
     data = bytes(payload)
     if data.startswith(PNG_SIGNATURE) and is_apng(data):
         return decode_apng(data)[:n_frames]
@@ -179,6 +184,11 @@ def _sample_frames(payload: bytes, n_frames: int) -> List[np.ndarray]:
         return decode_gif(data)[:n_frames]
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return decode_avi_mjpeg(data)[:n_frames]
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        try:
+            return decode_mp4_mjpeg(data)[:n_frames]
+        except ValueError:
+            pass        # not MJPEG samples (avc1/vp09/...): fake or raise
     if not FAKE_DECODE:
         raise NotImplementedError("video codec not available in this env")
     return [_fake_thumbnail(data + bytes([i])) for i in range(n_frames)]
@@ -566,6 +576,38 @@ def video_metadata(df: DataFrame, url_col: str = "url",
 
     return df.select(url_col, payload_col).mapInPandas(
         process, VIDEO_META_SCHEMA)
+
+
+def synth_mp4_mjpeg_payload(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n_frames: int = 3) -> DataFrame:
+    """(url, payload): a VALID Motion-JPEG mp4 per row — same per-frame
+    construction as :func:`synth_avi_payload` (frame ``i`` = 16x16
+    grayscale JPEG of sha256(text + '|v' + i)[:4], DC-exact), but packed
+    in an ISO BMFF container with a full sample table, so a REAL modern
+    video container decodes end-to-end and stays oracle-computable from
+    sha256 alone."""
+    from fuzzy_search_spark.pipeline.codecs import (encode_jpeg_gray,
+                                                    encode_mp4_mjpeg)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                jpegs = []
+                for i in range(n_frames):
+                    digest = hashlib.sha256(
+                        f"{text or ''}|v{i}".encode("utf-8")).digest()
+                    vals = np.frombuffer(digest[:4],
+                                         dtype=np.uint8).reshape(2, 2)
+                    img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                    jpegs.append(encode_jpeg_gray(img))
+                urls.append(str(doc_id))
+                payloads.append(encode_mp4_mjpeg(jpegs, 16, 16))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
 
 
 def synth_mp4_payload(df: DataFrame, id_col: str = "doc_id",

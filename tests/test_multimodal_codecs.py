@@ -621,3 +621,55 @@ def test_mp4_metadata_parse(spark):
     assert (rows["a"].width, rows["a"].height, rows["a"].codec) == \
         (16, 16, "MJPG")
     assert rows["a"].duration_ms == 2 * (1_000_000 // 10) // 1000
+
+
+def test_mp4_mjpeg_roundtrip_and_sampling(spark):
+    """Motion-JPEG-in-MP4 decodes FOR REAL: the sample-table walk
+    (stsd/stsz/stco) recovers each frame's JPEG bytes and the DC-exact
+    constant-block frames round-trip pixel-identically; non-MJPEG codecs
+    (avc1/vp09) are rejected so only they fall back to the fake; the
+    Spark path decodes the same frames end-to-end."""
+    import hashlib
+
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.codecs import (decode_mp4_mjpeg,
+                                                    encode_jpeg_gray,
+                                                    encode_mp4_mjpeg,
+                                                    encode_mp4_stub,
+                                                    parse_mp4_meta)
+    from fuzzy_search_spark.pipeline.multimodal import (
+        sniff_media_type,
+        synth_mp4_mjpeg_payload,
+        video_frame_features,
+    )
+
+    jpegs, expected = [], []
+    for i in range(3):
+        digest = hashlib.sha256(f"doc|v{i}".encode()).digest()
+        vals = np.frombuffer(digest[:4], dtype=np.uint8).reshape(2, 2)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        jpegs.append(encode_jpeg_gray(img))
+        expected.append(img)
+    mp4 = encode_mp4_mjpeg(jpegs, 16, 16)
+    assert sniff_media_type(mp4) == "video/mp4"
+    assert parse_mp4_meta(mp4)["codec"] == "mjpa"
+    frames = decode_mp4_mjpeg(mp4)
+    assert len(frames) == 3
+    for got, exp in zip(frames, expected):
+        assert got.shape == (16, 16, 3)
+        assert (got == exp[:, :, None]).all()
+
+    with pytest.raises(ValueError, match="not MJPEG"):
+        decode_mp4_mjpeg(encode_mp4_stub(16, 16, 1000, codec=b"avc1"))
+
+    docs = spark.createDataFrame([(7, "doc")], "doc_id long, text string")
+    out = (video_frame_features(synth_mp4_mjpeg_payload(docs, n_frames=3),
+                                n_frames=3)
+           .orderBy("frame_index").collect())
+    assert len(out) == 3
+    for i, row in enumerate(out):
+        digest = hashlib.sha256(f"doc|v{i}".encode()).digest()
+        mean = sum(digest[:4]) / 4.0
+        assert row.height == 16 and row.width == 16
+        assert row.mean_rgb[0] == pytest.approx(mean, abs=1e-9)
