@@ -151,6 +151,12 @@ class TokenModel:
     # over every candidate of every gram — the token-pipeline analog of
     # the phrase matcher's GramScanner
     probe_index: object = field(default=None, compare=False)
+    # chaining fan-out table (built at compile): ptoken -> tuple of
+    # (phrase_name, phrase, start_ok, len(phrase.name)) — the three dict
+    # lookups + tuple-key allocation the chain loop would otherwise pay
+    # per (token-match, phrase) visit, folded into one precomputed row
+    # (the visit count is millions per long document at large models)
+    chain_fanout: Optional[dict] = field(default=None, compare=False)
 
 
 def _is_distractor(text_token: str, phrase_token: str,
@@ -297,7 +303,37 @@ def compile_token_model(phrases: Sequence[Union[str, dict]],
             if (term, pt) not in tm.distractor_pairs
             and mt is not MatchType.NONE
         ]
+    tm.chain_fanout = _build_chain_fanout(tm)
     return tm
+
+
+#: reference get_partial_phrases' hardcoded start-offset gate
+#: (token_searcher.py:921) — folded into the compile-time fan-out rows
+_MAX_PARTIAL_START_OFFSET = 5
+
+
+def _build_chain_fanout(tm: TokenModel) -> dict:
+    """ptoken -> tuple of (phrase_id, phrase, start_ok, len(phrase.name),
+    missing_after_seed, phrase_name) rows.  phrase_id indexes a plain
+    list of open buckets (array indexing instead of per-visit dict
+    hashing); missing_after_seed is the phrase's missing template minus
+    the seeding ptoken's first occurrence, shared across every fresh
+    partial this row creates (see _PartialPhrase.fresh)."""
+    pid_of = {pn: i for i, pn in enumerate(tm.phrases)}
+    fanout = {}
+    for tok_n, names in tm.token_in_phrase.items():
+        rows = []
+        for pn in names:
+            tp = tm.phrases[pn]
+            missing_after = list(tp.missing_template)
+            missing_after.remove(tok_n)
+            rows.append(
+                (pid_of[pn], tp,
+                 tm.min_token_offset[(tok_n, pn)]
+                 < _MAX_PARTIAL_START_OFFSET,
+                 len(tp.name), missing_after, pn))
+        fanout[tok_n] = tuple(rows)
+    return fanout
 
 
 def _within_offsets(tm: TokenModel, ptoken: str, char_index: int,
@@ -560,20 +596,23 @@ def _match_type(token_n: str, num_skips: int, num_matched: int,
     return MatchType.PARTIAL_OF_TEXT_TOKEN
 
 
-@dataclass(eq=False)
 class TokenMatch:
-    text_tokens: Tuple[Tok, ...]
-    ptoken: str
-    match_type: MatchType
+    """One text-token(s) -> phrase-token match.  text_start/text_end are
+    precomputed plain attributes — the chaining state machine reads them
+    tens of millions of times per large-model document, so property
+    dispatch was a measured hot spot."""
 
-    @property
-    def text_start(self) -> int:
-        return self.text_tokens[0].char_index
+    __slots__ = ("text_tokens", "ptoken", "match_type", "text_start",
+                 "text_end")
 
-    @property
-    def text_end(self) -> int:
-        last = self.text_tokens[-1]
-        return last.char_index + len(last.n)
+    def __init__(self, text_tokens: Tuple[Tok, ...], ptoken: str,
+                 match_type: MatchType):
+        self.text_tokens = text_tokens
+        self.ptoken = ptoken
+        self.match_type = match_type
+        self.text_start = text_tokens[0].char_index
+        last = text_tokens[-1]
+        self.text_end = last.char_index + len(last.n)
 
 
 class _PartialPhrase:
@@ -601,25 +640,21 @@ class _PartialPhrase:
                 # shape: one match seeds the state without the generic
                 # re-scan (identical result to add_tokens)
                 m = token_matches[0]
-                for pt in m.ptoken_tuple():
-                    if pt in self.missing:
-                        self.missing.remove(pt)
+                if m.ptoken in self.missing:
+                    self.missing.remove(m.ptoken)
                 self.token_matches = [m]
                 self.text_tokens = m.text_tokens
-                self.phrase_tokens = m.ptoken_tuple()
-                first = m.text_tokens[0]
-                last = m.text_tokens[-1]
-                self.text_start = first.char_index
-                self.text_end = last.char_index + len(last.n)
+                self.phrase_tokens = (m.ptoken,)
+                self.text_start = m.text_start
+                self.text_end = m.text_end
                 self.text_length = self.text_end - self.text_start
             else:
                 self.add_tokens(token_matches)
 
     def add_tokens(self, token_matches: List[TokenMatch]) -> None:
         for tmch in token_matches:
-            for pt in tmch.ptoken_tuple():
-                if pt in self.missing:
-                    self.missing.remove(pt)
+            if tmch.ptoken in self.missing:
+                self.missing.remove(tmch.ptoken)
         self.token_matches.extend(token_matches)
         self._update()
 
@@ -637,8 +672,7 @@ class _PartialPhrase:
             # unimplemented (prints a TODO); tokens are dropped, as there
             prev = m
         self.text_tokens = tuple(text_tokens)
-        self.phrase_tokens = tuple(
-            pt for m in self.token_matches for pt in m.ptoken_tuple())
+        self.phrase_tokens = tuple(m.ptoken for m in self.token_matches)
         first = self.text_tokens[0]
         last = self.text_tokens[-1]
         self.text_start = first.char_index
@@ -656,12 +690,62 @@ class _PartialPhrase:
         new.text_length = self.text_length
         return new
 
+    @classmethod
+    def fresh(cls, phrase: TokenPhrase, tmch: TokenMatch,
+              missing_after: List[str]) -> "_PartialPhrase":
+        """Chain-loop fresh partial (millions per long document at
+        large models): the missing list comes PRECOMPUTED from the
+        compile-time fan-out row (template minus the seeding ptoken's
+        first occurrence) and is SHARED between partials — safe because
+        every mutation path in the chain flow builds a new list
+        (``copy_extend``); ``add_tokens`` (which mutates in place) is
+        never called on chain partials."""
+        new = cls.__new__(cls)
+        new.phrase = phrase
+        new.token_matches = [tmch]
+        new.text_tokens = tmch.text_tokens
+        new.phrase_tokens = (tmch.ptoken,)
+        new.missing = missing_after
+        new.text_start = tmch.text_start
+        new.text_end = tmch.text_end
+        new.text_length = tmch.text_end - tmch.text_start
+        new.match_string = None
+        new.lev = None
+        return new
 
-def _tm_ptoken_tuple(self: TokenMatch) -> tuple:
-    return (self.ptoken,)
-
-
-TokenMatch.ptoken_tuple = _tm_ptoken_tuple
+    def copy_extend(self, tmch: TokenMatch) -> "_PartialPhrase":
+        """``copy()`` + ``add_tokens([tmch])`` fused into one O(1)
+        incremental step: appending a single match only needs the last
+        existing match for ``_update``'s merge decision (equal-start ->
+        skip, gap/adjacent -> extend, overlap -> drop), so the full
+        token_matches rescan and the missing-template recopy are
+        replaced by constant-size work.  Result is attribute-identical
+        to the two-call form (pinned by the chaining A/B test), except
+        ``phrase_tokens``, which is write-only in the chain flow and
+        left at the seed value.  Precondition (caller-checked):
+        ``tmch.ptoken in self.missing``."""
+        new = _PartialPhrase.__new__(_PartialPhrase)
+        new.phrase = self.phrase
+        new.token_matches = self.token_matches + [tmch]
+        missing = list(self.missing)
+        missing.remove(tmch.ptoken)
+        new.missing = missing
+        prev = self.token_matches[-1]
+        ts = tmch.text_start
+        if ts == prev.text_start or ts < prev.text_end:
+            # _update skips equal-start matches and drops partially
+            # overlapping ones either way: tokens unchanged
+            new.text_tokens = self.text_tokens
+            new.text_end = self.text_end
+        else:
+            new.text_tokens = self.text_tokens + tmch.text_tokens
+            new.text_end = tmch.text_end
+        new.phrase_tokens = self.phrase_tokens
+        new.text_start = self.text_start
+        new.text_length = new.text_end - new.text_start
+        new.match_string = None
+        new.lev = None
+        return new
 
 
 def _tokenize(text: str) -> List[Tok]:
@@ -722,42 +806,93 @@ def _find_token_matches(tokens: List[Tok], tm: TokenModel) -> List[TokenMatch]:
 
 def _chain_partial_phrases(token_matches: List[TokenMatch],
                            tm: TokenModel) -> Dict[str, List[_PartialPhrase]]:
-    """get_partial_phrases (token_searcher.py:902-1057)."""
-    max_partial_start_offset = 5
-    open_partials: Dict[str, List[_PartialPhrase]] = {}
+    """get_partial_phrases (token_searcher.py:902-1057).
+
+    Faithful state machine, allocation-light execution (this loop is
+    >95% of large-model document cost, measured):
+
+    * the reference semantics — snapshot iteration with mid-loop
+      evictions to ``candidates`` and mid-loop copy-appends the current
+      round must not revisit — are reproduced by scanning the live
+      bucket once, lazily forking a survivors list only when an
+      eviction actually happens, and appending the round's new partials
+      afterwards.  Element order is preserved exactly (survivors in
+      original order, then copies in visit order, then the fresh
+      partial) without per-visit list copies or O(n) ``remove`` calls.
+    * the per-visit ``min_token_offset`` / ``phrases`` lookups come
+      precomputed from the compile-time ``chain_fanout`` rows.
+    * a retired partial (evicted here, or flushed at end-of-text) is
+      dropped instead of appended to ``candidates`` when it is BOTH
+      incomplete and outside ``max_length_variance``: the downstream
+      kept-filter discards such a partial unconditionally (the length
+      clause), and — being incomplete — it cannot flip that filter's
+      ``has_complete`` bit, so the surviving candidate list (content
+      AND order) is identical.  Retired partials are final (nothing
+      extends them later), so the test is stable at drop time."""
+    max_char_gap = tm.max_char_gap
+    max_length_variance = tm.max_length_variance
+    fanout = tm.chain_fanout
+    if fanout is None:                  # models from older pickles
+        fanout = tm.chain_fanout = _build_chain_fanout(tm)
+    buckets: List[Optional[List[_PartialPhrase]]] = [None] * len(tm.phrases)
     candidates: Dict[str, List[_PartialPhrase]] = {}
+    empty = ()
+    fresh_partial = _PartialPhrase.fresh
     for tmch in token_matches:
-        for ptoken in tmch.ptoken_tuple():
-            for phrase_name in tm.token_in_phrase.get(ptoken, ()):
-                phrase = tm.phrases[phrase_name]
-                if phrase_name not in open_partials:
-                    offset = tm.min_token_offset[(ptoken, phrase_name)]
-                    if offset < max_partial_start_offset:
-                        open_partials[phrase_name] = [
-                            _PartialPhrase(phrase, [tmch])]
+        ts = tmch.text_start
+        ptoken = tmch.ptoken
+        for pid, phrase, start_ok, name_len, miss_after, phrase_name in \
+                fanout.get(ptoken, empty):
+            bucket = buckets[pid]
+            if bucket is None:
+                if start_ok:
+                    buckets[pid] = [fresh_partial(phrase, tmch, miss_after)]
+                continue
+            added = False
+            survivors = None        # lazily forked only on first eviction
+            appends = None          # lazily allocated only on first append
+            for i, partial in enumerate(bucket):
+                pe = partial.text_end
+                if ts - pe > max_char_gap:
+                    if survivors is None:
+                        survivors = bucket[:i]
+                    if not partial.missing or \
+                            abs(partial.text_length - name_len) <= \
+                            max_length_variance:
+                        candidates.setdefault(phrase_name,
+                                              []).append(partial)
+                    continue
+                if survivors is not None:
+                    survivors.append(partial)
+                if pe < ts and ptoken in partial.missing:
+                    partial_copy = partial.copy_extend(tmch)
+                    if partial_copy.text_length - name_len <= \
+                            max_length_variance:
+                        if appends is None:
+                            appends = [partial_copy]
+                        else:
+                            appends.append(partial_copy)
+                        added = True
+            if not added and start_ok:
+                fresh = fresh_partial(phrase, tmch, miss_after)
+                if appends is None:
+                    appends = [fresh]
                 else:
-                    added = False
-                    for partial in list(open_partials[phrase_name]):
-                        if tmch.text_start - partial.text_end > tm.max_char_gap:
-                            candidates.setdefault(phrase_name, []).append(partial)
-                            open_partials[phrase_name].remove(partial)
-                            continue
-                        if partial.text_end < tmch.text_start and any(
-                                pt in partial.missing
-                                for pt in tmch.ptoken_tuple()):
-                            partial_copy = partial.copy()
-                            partial_copy.add_tokens([tmch])
-                            if partial_copy.text_length - len(phrase.name) <= \
-                                    tm.max_length_variance:
-                                open_partials[phrase_name].append(partial_copy)
-                                added = True
-                    if not added:
-                        offset = tm.min_token_offset[(ptoken, phrase_name)]
-                        if offset < max_partial_start_offset:
-                            open_partials[phrase_name].append(
-                                _PartialPhrase(phrase, [tmch]))
-    for phrase_name, partials in open_partials.items():
-        candidates.setdefault(phrase_name, []).extend(partials)
+                    appends.append(fresh)
+            live = bucket if survivors is None else survivors
+            if appends is not None:
+                live.extend(appends)
+            if survivors is not None:
+                buckets[pid] = survivors
+    for (phrase_name, tp), partials in zip(tm.phrases.items(), buckets):
+        if not partials:
+            continue
+        name_len = len(tp.name)
+        flushed = [p for p in partials
+                   if not p.missing
+                   or abs(p.text_length - name_len) <= max_length_variance]
+        if flushed:
+            candidates.setdefault(phrase_name, []).extend(flushed)
     for phrase_name in candidates:
         bucket = candidates[phrase_name]
         phrase = tm.phrases[phrase_name]

@@ -207,3 +207,60 @@ def test_vectorized_probe_equals_python_fallback():
               m.levenshtein_similarity)
              for m in T.find_token_matches(text, m_py)]
         assert a == b, text
+
+
+def test_chain_fused_paths_equal_generic():
+    """The chain loop's fused constructors (_PartialPhrase.fresh with a
+    precomputed shared missing list; copy_extend's O(1) incremental
+    update) must be attribute-identical to the generic
+    constructor + add_tokens forms they replaced, across random token
+    layouts including equal-start, overlapping, adjacent and gapped
+    follow-up matches and phrases with repeated tokens."""
+    from fuzzy_search_spark.token_matcher import (MatchType,
+                                                  Tok,
+                                                  TokenMatch,
+                                                  _PartialPhrase,
+                                                  compile_token_model)
+
+    rng = random.Random(7)
+    tm = compile_token_model(
+        ["alpha beta gamma", "beta beta delta", "gamma alpha"], {})
+
+    def mk_tok(word, start):
+        return Tok(n=word, index=0, char_index=start,
+                   char_end_index=100 - (start + len(word) + 1))
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    for _ in range(300):
+        pn = rng.choice(list(tm.phrases))
+        phrase = tm.phrases[pn]
+        seed_word = rng.choice(words)
+        seed = TokenMatch((mk_tok(seed_word, 10),), seed_word,
+                          MatchType.FULL)
+        # generic vs fused fresh
+        generic = _PartialPhrase(phrase, [seed])
+        missing_after = list(phrase.missing_template)
+        if seed_word in missing_after:
+            missing_after.remove(seed_word)
+        fused = _PartialPhrase.fresh(phrase, seed, missing_after)
+        for attr in ("missing", "text_tokens", "text_start", "text_end",
+                     "text_length"):
+            assert getattr(generic, attr) == getattr(fused, attr), attr
+
+        # follow-up match at an equal-start / overlapping / adjacent /
+        # gapped position relative to the seed (end = 10 + len)
+        nxt_word = rng.choice(words)
+        nxt_start = rng.choice([10, 12, 10 + len(seed_word),
+                                10 + len(seed_word) + 3])
+        nxt = TokenMatch((mk_tok(nxt_word, nxt_start),), nxt_word,
+                         MatchType.FULL)
+        if nxt_word not in generic.missing:
+            continue  # copy_extend's caller-checked precondition
+        two_call = generic.copy()
+        two_call.add_tokens([nxt])
+        fused2 = fused.copy_extend(nxt)
+        for attr in ("missing", "text_tokens", "text_start", "text_end",
+                     "text_length"):
+            assert getattr(two_call, attr) == getattr(fused2, attr), attr
+        # the shared missing list must not have been mutated
+        assert fused.missing == missing_after
