@@ -362,6 +362,155 @@ def _sweep_candidates(cp: CompiledPhrase, grams, text: str,
     return candidates
 
 
+def _sweep_candidates_local(cp: CompiledPhrase, gk, gs, gl, text: str,
+                            skipgram_threshold: float, mlv: int,
+                            gap_limit: int) -> List[_Candidate]:
+    """Same state machine as ``_sweep_candidates``, taking the phrase-LOCAL
+    dense gram ids the vectorized accumulator already derives (positions in
+    ``cp.sorted_keys_np``), so every per-visit dict/set operation becomes
+    flat list indexing: counts as an int list (-1 = untracked, mirroring
+    the dict's present-at-zero vs absent distinction the count-overlap
+    score depends on), distinct-gram overlap as a counter maintained on
+    0<->1 count transitions.  Equivalence with the generic sweep is pinned
+    by tests/test_sweep_equivalence.py."""
+    if not gk:
+        return []
+    candidates: List[_Candidate] = []
+    loc_early = cp.loc_early
+    loc_late = cp.loc_late
+    loc_first = cp.loc_first
+    loc_freq = cp.loc_freq
+    n_local = len(loc_freq)
+    num_grams = cp.num_grams
+    name_len = len(cp.name)
+    max_len = name_len + mlv
+    low_len = cp.late_threshold - mlv
+    last = len(gk) - 1
+
+    h = 0
+    counts = [-1] * n_local  # -1 = untracked, >=0 = tracked count
+    distinct = 0             # local ids with count >= 1 (== len(gset))
+    touched = False          # any tracked entry since the last gap reset
+    cdiff = 0
+    start: Optional[int] = -1
+    end = -1
+    ci = 0
+
+    def pop_front() -> None:
+        nonlocal h, cdiff, distinct
+        k0 = gk[h]
+        h += 1
+        c0 = counts[k0] - 1
+        counts[k0] = c0
+        cdiff += -1 if c0 >= loc_freq[k0] else 1
+        if c0 == 0:
+            distinct -= 1
+
+    def emit() -> None:
+        nonlocal start
+        if start == end:
+            return
+        if not candidates or not (candidates[-1].start == start
+                                  and candidates[-1].end == end):
+            candidates.append(_Candidate(cp, start, end, text[start:end],
+                                         (ci - h + 1 - cdiff) / num_grams))
+        if end - start > name_len:
+            anchor_start = gs[h]
+            best_po = loc_first[gk[h]]
+            best_idx = 0
+            best_start = anchor_start
+            slack = (end - start) - name_len
+            for si in range(h, ci + 1):
+                k2 = gk[si]
+                s2 = gs[si]
+                if s2 - anchor_start > slack:
+                    break
+                po = loc_first[k2]
+                if s2 > best_start and po <= best_po:
+                    best_idx, best_start, best_po = si - h, s2, po
+                if not loc_early[k2]:
+                    break
+            for _ in range(best_idx):
+                pop_front()
+            off = gs[h] - loc_first[gk[h]]
+            start = 0 if off < 0 else off
+            if best_idx > 0 and start != end:
+                candidates.append(_Candidate(cp, start, end, text[start:end],
+                                             (ci - h + 1 - cdiff) / num_grams))
+
+    for ci in range(last + 1):
+        key = gk[ci]
+        if h >= ci:
+            if not loc_early[key]:
+                h = ci + 1
+                if touched and ci < last:
+                    ns = gs[ci + 1]
+                    if ns and ns - gs[ci] > gap_limit:
+                        counts = [-1] * n_local
+                        distinct = 0
+                        touched = False
+                        cdiff = 0
+                        start = -1
+                        end = -1
+                continue
+            h = ci
+        touched = True
+        if start is None or start < 0:
+            off = gs[h] - loc_first[gk[h]]
+            start = 0 if off < 0 else off
+        gram_end = gs[ci] + gl[ci]
+        if gram_end > end:
+            end = gram_end
+        c_old = counts[key]
+        if c_old < 0:
+            counts[key] = 1
+            f_new = loc_freq[key]
+            cdiff += f_new - 1 if f_new >= 1 else 1 - f_new
+            distinct += 1
+        else:
+            counts[key] = c_old + 1
+            cdiff += 1 if c_old >= loc_freq[key] else -1
+            if c_old == 0:
+                distinct += 1
+        while h <= ci and end - start > max_len:
+            pop_front()
+            if h <= ci:
+                off = gs[h] - loc_first[gk[h]]
+                start = 0 if off < 0 else off
+            else:
+                start = None
+                break
+        while h <= ci and not loc_early[gk[h]]:
+            pop_front()
+            if h <= ci:
+                off = gs[h] - loc_first[gk[h]]
+                start = 0 if off < 0 else off
+            else:
+                start = None
+        if h <= ci and loc_early[gk[h]]:
+            span = end - start
+            if (span <= max_len and span >= low_len
+                    and loc_late[key]
+                    and distinct / n_local >= skipgram_threshold):
+                emit()
+        next_start = gs[ci + 1] if ci < last else None
+        if next_start and next_start - gs[ci] > gap_limit:
+            h = ci + 1
+            counts = [-1] * n_local
+            distinct = 0
+            touched = False
+            cdiff = 0
+            start = -1
+            end = -1
+    if h <= last and loc_early[gk[h]]:
+        span = end - start
+        if (span <= max_len and span >= low_len
+                and loc_late[gk[last]]
+                and distinct / n_local >= skipgram_threshold):
+            emit()
+    return candidates
+
+
 def _filter_overlapping_candidates(cands: List[_Candidate]) -> List[_Candidate]:
     """Among same-phrase candidates that overlap, keep the best by indel
     similarity, then by longer match string."""
@@ -608,12 +757,16 @@ def _accumulate_vectorized(hits, model: CompiledModel, cfg, mlv: int,
         idx = np.nonzero(mask)[0]
         if idx.size == 0:
             continue
-        mkeys = keys[idx]
-        if np.unique(mkeys).size / gram_set_size < thr:
+        # pos[idx] are exact positions in sorted_keys_np (pk[pos] == keys on
+        # the mask), i.e. phrase-local dense gram ids — distinct-count
+        # equivalent to the raw keys, and the local sweep's native currency
+        lkeys = pos[idx]
+        if np.unique(lkeys).size / gram_set_size < thr:
             continue
         # parallel lists, not tuples: the sweep indexes columns directly,
         # so no per-gram tuple objects are ever materialized
-        grams = (mkeys.tolist(), starts[idx].tolist(), lens[idx].tolist())
+        grams = (lkeys.tolist(), starts[idx].tolist(), lens[idx].tolist(),
+                 True)
         ordered.append((int(idx[0]), kind, rank, cp, grams))
     ordered.sort(key=lambda t: (t[0], t[1], t[2]))
     return [(t[3], t[4]) for t in ordered]
@@ -649,9 +802,15 @@ def find_matches(text: str, model: CompiledModel,
     groups: Dict[str, List[_Candidate]] = {}
     for cp, grams in per_phrase:
         main = model.is_variant_of.get(cp.name, cp.name)
-        groups.setdefault(main, []).extend(
-            _sweep_candidates(cp, grams, text, cfg.skipgram_threshold, mlv,
-                              gap_limit))
+        if isinstance(grams, tuple) and len(grams) == 4:
+            # local-id stream from the vectorized accumulator
+            cands = _sweep_candidates_local(cp, grams[0], grams[1], grams[2],
+                                            text, cfg.skipgram_threshold,
+                                            mlv, gap_limit)
+        else:
+            cands = _sweep_candidates(cp, grams, text,
+                                      cfg.skipgram_threshold, mlv, gap_limit)
+        groups.setdefault(main, []).extend(cands)
 
     # 6-7: boundary snapping + per-phrase overlap dedup
     candidates: List[_Candidate] = []

@@ -60,6 +60,13 @@ class CompiledPhrase:
     # sorted int64 key array for vectorized membership tests (None when the
     # model uses string keys, i.e. ngram_size > 3)
     sorted_keys_np: object = None
+    # flat per-local-id tables aligned with sorted_keys_np (local id =
+    # position in sorted_keys_np): the sweep's per-visit state then indexes
+    # lists instead of hashing gram keys into dicts/sets
+    loc_freq: Optional[List[int]] = None
+    loc_first: Optional[List[int]] = None
+    loc_early: Optional[List[bool]] = None
+    loc_late: Optional[List[bool]] = None
 
     @property
     def has_max_start(self) -> bool:
@@ -104,7 +111,12 @@ def compile_phrase(phrase: Union[str, dict], config: SearchConfig) -> CompiledPh
     if all(isinstance(k, int) for k in cp.gram_set):
         import numpy as np
 
-        cp.sorted_keys_np = np.array(sorted(cp.gram_set), dtype=np.int64)
+        skeys = sorted(cp.gram_set)
+        cp.sorted_keys_np = np.array(skeys, dtype=np.int64)
+        cp.loc_freq = [cp.gram_freq[k] for k in skeys]
+        cp.loc_first = [cp.gram_first_offset[k] for k in skeys]
+        cp.loc_early = [k in cp.early for k in skeys]
+        cp.loc_late = [k in cp.late for k in skeys]
     return cp
 
 
