@@ -385,14 +385,15 @@ Evidence notes (no real multi-node cluster exists in this sandbox):
 
 The reference library publishes no quantitative baseline (BASELINE.md §1)
 and is single-threaded pure Python.  Measured head-to-head (README model,
-identical output, seeded fixture corpus incl. giants): reference
-0.124 MB/s vs this engine's single-core matcher ~0.72 MB/s — a ~5.8x
-single-core advantage at byte-identical match output (384/384 docs
-agree; NumPy-vectorized gram scan + O(n) two-pointer sweep over parallel
-gram arrays) before Spark parallelism.  Caveat: the reference ran with a
-pure-Python shim for its C `Levenshtein` dependency (absent here); the
-dominant cost in both engines is the skipgram scan, which the reference
-always runs in pure Python.
+identical output, bench fixture shard; scripts/reference_headtohead.py
+reruns it): reference 0.123 MB/s vs this engine's single-core matcher
+~0.86 MB/s — a ~7.0x single-core advantage at byte-identical match
+output (120/120 docs agree; NumPy-vectorized gram scan + O(n)
+two-pointer sweep over flat local-id gram tables) before Spark
+parallelism.  Caveat: the reference ran with a pure-Python shim for its
+C `Levenshtein` dependency (absent here); the dominant cost in both
+engines is the skipgram scan, which the reference always runs in pure
+Python.
 """)
 
 
