@@ -44,9 +44,11 @@ def ensure_corpus(sf: float) -> tuple:
     fuzzy_search_spark.fixtures)."""
     from fuzzy_search_spark.fixtures import write_web_pages_parquet
 
-    # sized so the local[32] e2e wall is ~45-60 s: short walls make the
-    # two-parallelism efficiency ratio hostage to +-10% host noise
-    n_bulk = max(2000, int(600_000 * sf))
+    # sized so the local[32] e2e wall stays ~30-45 s: short walls make the
+    # two-parallelism efficiency ratio hostage to +-10% host noise (doubled
+    # in round 4 — the local-id sweep made the kernel ~1.5x faster, which
+    # would have pushed the big-width wall under 15 s)
+    n_bulk = max(2000, int(1_200_000 * sf))
     path = os.path.join(REPO, "fixtures", f"web_pages_{n_bulk}")
     if not os.path.isdir(path):
         n = write_web_pages_parquet(path, n_bulk=n_bulk, n_files=128)
