@@ -196,3 +196,27 @@ def test_engine_deterministic_across_hash_seeds():
         assert proc.returncode == 0, proc.stderr[-1500:]
         outs.add(proc.stdout.strip())
     assert len(outs) == 1, "engine output varies with hash seed"
+
+
+def test_compiled_model_pickle_roundtrip_matches():
+    """The compiled model is broadcast to executors pickled; the unpickled
+    copy (including the local-id sweep tables) must match identically."""
+    import pickle
+
+    from fuzzy_search_spark.fixtures import README_CONFIG, README_MODEL
+    from fuzzy_search_spark.matcher import find_matches
+    from fuzzy_search_spark.model import compile_model
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    clone = pickle.loads(pickle.dumps(model))
+    text = ("ie Veucris den 5. Januaris 1725. PR&ASIDE den Heere "
+            "Mercurli en PRAESENTIBUS rapport van Vencris")
+    a = find_matches(text, model)
+    b = find_matches(text, clone)
+    assert [(m.phrase, m.variant, m.string, m.offset, m.end,
+             m.levenshtein_similarity) for m in a] == \
+           [(m.phrase, m.variant, m.string, m.offset, m.end,
+             m.levenshtein_similarity) for m in b]
+    assert a, "expected at least one match in the fixture text"
+    for cp in clone.phrases.values():
+        assert cp.loc_freq is not None and cp.loc_early is not None
