@@ -892,16 +892,20 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container-metadata parse over ISO BMFF (mp4) stubs: box-tree
-    walk extracts duration/dimensions/codec — the resolution/length gate
-    a video pipeline applies before any codec-bound frame decode.  All
-    fields derive analytically from doc_id, so the oracle needs no
-    digest machinery."""
+    """REAL container-metadata parse over BOTH modern video containers:
+    ISO BMFF (mp4) stubs via the box-tree walk and webm stubs via the
+    EBML tree walk (Segment > Info duration, Tracks > Video dimensions,
+    CodecID) — the resolution/length gate a video pipeline applies
+    before any codec-bound frame decode.  All fields derive analytically
+    from doc_id, so the oracle needs no digest machinery."""
     from fuzzy_search_spark.pipeline.multimodal import (synth_mp4_payload,
+                                                        synth_webm_payload,
                                                         video_metadata)
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
-    return (video_metadata(synth_mp4_payload(docs))
+    docs = _docs(spark, sf_dir)
+    mp4 = synth_mp4_payload(docs.filter(F.col("doc_id") % 10 == 7))
+    webm = synth_webm_payload(docs.filter(F.col("doc_id") % 10 == 1))
+    return (video_metadata(mp4.unionByName(webm))
             .orderBy("url"))
 
 
@@ -2999,14 +3003,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "video_metadata": """
-            SELECT CAST(doc_id AS VARCHAR) AS url,
-                   'video/mp4' AS media_type,
-                   1000 + doc_id AS duration_ms,
-                   CAST(16 * (1 + doc_id % 4) AS INT) AS width,
-                   CAST(16 * (1 + doc_id % 3) AS INT) AS height,
-                   CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END
-                     AS codec
-            FROM documents WHERE doc_id % 10 = 7 ORDER BY url
+            SELECT * FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     'video/mp4' AS media_type,
+                     CAST(1000 + doc_id AS BIGINT) AS duration_ms,
+                     CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                     CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+                     CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END
+                       AS codec
+              FROM documents WHERE doc_id % 10 = 7
+              UNION ALL
+              SELECT CAST(doc_id AS VARCHAR) AS url,
+                     'video/webm' AS media_type,
+                     CAST(2000 + doc_id AS BIGINT) AS duration_ms,
+                     CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                     CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+                     CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+                       AS codec
+              FROM documents WHERE doc_id % 10 = 1
+            ) ORDER BY url
         """,
         # AVI/MJPEG frames: frame i is a constant-block grayscale JPEG of
         # sha256(text|vi)[:4]; DC-exact round-trip -> mean = mean of the

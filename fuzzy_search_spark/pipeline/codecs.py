@@ -1370,3 +1370,161 @@ def _parse_mp4(data: bytes) -> dict:
     if meta["duration_ms"] is None and meta["width"] is None:
         raise ValueError("no mp4 metadata boxes found")
     return meta
+
+
+# --- Matroska / webm (EBML) metadata ------------------------------------
+# The container framing is plain EBML (variable-length ids + sizes); the
+# resolution/duration/codec gate never touches the coded VP8/VP9 samples,
+# so a metadata-only parse is REAL while pixel decode stays codec-bound.
+# Element ids per the public Matroska spec (RFC 9559).
+
+_EBML_HEADER = 0x1A45DFA3
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACK_ENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_TIMECODE_SCALE = 0x2AD7B1
+_EBML_DURATION = 0x4489
+_EBML_CODEC_ID = 0x86
+_EBML_PIXEL_WIDTH = 0xB0
+_EBML_PIXEL_HEIGHT = 0xBA
+_EBML_DOCTYPE = 0x4282
+
+
+def _ebml_size(n: int) -> bytes:
+    """EBML size varint (known length, up to 4 bytes / 2^28-2)."""
+    if n < 0x7F:
+        return bytes([0x80 | n])
+    if n < 0x3FFF:
+        return struct.pack(">H", 0x4000 | n)
+    if n < 0x1FFFFF:
+        return (0x200000 | n).to_bytes(3, "big")
+    if n < 0x0FFFFFFF:
+        return struct.pack(">I", 0x10000000 | n)
+    raise ValueError(f"EBML size too large: {n}")
+
+
+def _ebml_id_bytes(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_elem(eid: int, body: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size(len(body)) + body
+
+
+def _ebml_uint(eid: int, value: int) -> bytes:
+    body = value.to_bytes(max(1, (value.bit_length() + 7) // 8), "big")
+    return _ebml_elem(eid, body)
+
+
+def encode_webm_meta(width: int, height: int, duration_ms: int,
+                     codec_id: str = "V_VP9") -> bytes:
+    """Metadata-only webm: EBML header + Segment(Info + Tracks), no
+    Clusters — the coded samples are exactly what a metadata gate never
+    reads.  TimecodeScale is pinned to 1e6 ns so the float Duration is in
+    integral milliseconds and round-trips exactly."""
+    header = _ebml_elem(_EBML_HEADER, b"".join((
+        _ebml_uint(0x4286, 1),            # EBMLVersion
+        _ebml_uint(0x42F7, 1),            # EBMLReadVersion
+        _ebml_uint(0x42F2, 4),            # EBMLMaxIDLength
+        _ebml_uint(0x42F3, 8),            # EBMLMaxSizeLength
+        _ebml_elem(_EBML_DOCTYPE, b"webm"),
+        _ebml_uint(0x4287, 2),            # DocTypeVersion
+        _ebml_uint(0x4285, 2),            # DocTypeReadVersion
+    )))
+    info = _ebml_elem(_EBML_INFO, b"".join((
+        _ebml_uint(_EBML_TIMECODE_SCALE, 1_000_000),
+        _ebml_elem(_EBML_DURATION, struct.pack(">d", float(duration_ms))),
+    )))
+    video = _ebml_elem(_EBML_VIDEO, b"".join((
+        _ebml_uint(_EBML_PIXEL_WIDTH, width),
+        _ebml_uint(_EBML_PIXEL_HEIGHT, height),
+    )))
+    track = _ebml_elem(_EBML_TRACK_ENTRY, b"".join((
+        _ebml_uint(0xD7, 1),              # TrackNumber
+        _ebml_uint(0x73C5, 1),            # TrackUID
+        _ebml_uint(0x83, 1),              # TrackType: video
+        _ebml_elem(_EBML_CODEC_ID, codec_id.encode("ascii")),
+        video,
+    )))
+    tracks = _ebml_elem(_EBML_TRACKS, track)
+    return header + _ebml_elem(_EBML_SEGMENT, info + tracks)
+
+
+def _read_ebml_vint(data: bytes, pos: int, strip_marker: bool) -> tuple:
+    """(value, next_pos); EBML variable-length integer at ``pos``."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint")
+    mask = 0x80
+    length = 1
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    val = (first & (mask - 1)) if strip_marker else first
+    for b in data[pos + 1:pos + length]:
+        val = (val << 8) | b
+    return val, pos + length
+
+
+def parse_webm_meta(data: bytes) -> dict:
+    """Extract ``{duration_ms, width, height, codec}`` from a webm /
+    Matroska payload by walking the EBML tree (Segment > Info for
+    TimecodeScale/Duration, Segment > Tracks > TrackEntry > Video for
+    dimensions, CodecID for the codec string).  Raises ValueError on
+    malformed input or unknown-size elements (our writer and well-formed
+    metadata sections always carry known sizes)."""
+    try:
+        return _parse_webm(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed webm: {exc}") from None
+
+
+def _parse_webm(data: bytes) -> dict:
+    found = {"timecode_scale": 1_000_000, "duration": None,
+             "width": None, "height": None, "codec": None}
+    containers = {_EBML_SEGMENT, _EBML_INFO, _EBML_TRACKS,
+                  _EBML_TRACK_ENTRY, _EBML_VIDEO}
+
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        pos = start
+        while pos < end and depth < 8:
+            eid, pos = _read_ebml_vint(data, pos, strip_marker=False)
+            size, pos = _read_ebml_vint(data, pos, strip_marker=True)
+            if pos + size > end:
+                raise ValueError(f"bad EBML element size {size}")
+            if eid in containers:
+                walk(pos, pos + size, depth + 1)
+            elif eid == _EBML_TIMECODE_SCALE:
+                found["timecode_scale"] = int.from_bytes(
+                    data[pos:pos + size], "big")
+            elif eid == _EBML_DURATION:
+                if size == 8:
+                    found["duration"] = struct.unpack(
+                        ">d", data[pos:pos + 8])[0]
+                elif size == 4:
+                    found["duration"] = struct.unpack(
+                        ">f", data[pos:pos + 4])[0]
+            elif eid == _EBML_PIXEL_WIDTH and found["width"] is None:
+                found["width"] = int.from_bytes(data[pos:pos + size], "big")
+            elif eid == _EBML_PIXEL_HEIGHT and found["height"] is None:
+                found["height"] = int.from_bytes(data[pos:pos + size], "big")
+            elif eid == _EBML_CODEC_ID and found["codec"] is None:
+                found["codec"] = data[pos:pos + size].decode(
+                    "ascii", "replace")
+            pos += size
+
+    if data[:4] != _ebml_id_bytes(_EBML_HEADER):
+        raise ValueError("not an EBML file")
+    walk(0, len(data))
+    if found["duration"] is None and found["width"] is None:
+        raise ValueError("no webm metadata elements found")
+    duration_ms = None
+    if found["duration"] is not None:
+        duration_ms = int(round(
+            found["duration"] * found["timecode_scale"] / 1e6))
+    return {"duration_ms": duration_ms, "width": found["width"],
+            "height": found["height"], "codec": found["codec"]}

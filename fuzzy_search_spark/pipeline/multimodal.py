@@ -5,11 +5,13 @@ PNG, GIF (incl. animated), baseline JPEG, WAV, AVI/MJPEG and
 Motion-JPEG-in-MP4 payloads decode FOR REAL via the stdlib+numpy codecs
 in :mod:`fuzzy_search_spark.pipeline.codecs` (zlib inflate + scanline
 unfilter; LZW + palette; huffman + dequant + IDCT; RIFF struct parse;
-ISO BMFF sample-table walk).  Only codec-bound video payloads
-(H.264/VP9 in mp4, webm) — which genuinely need external codec
-libraries — remain STUBS with a deterministic fake behind
-``FAKE_DECODE=True`` (and ``NotImplementedError`` otherwise);
-progressive JPEG is rejected as undecodable like any malformed row.
+ISO BMFF sample-table walk).  Container METADATA is real for every
+format — mp4 box tree, webm/Matroska EBML tree, AVI RIFF headers.
+Only codec-bound PIXEL decode (H.264/VP9 in mp4, VP8/VP9 in webm) —
+which genuinely needs external codec libraries — remains a STUB with a
+deterministic fake behind ``FAKE_DECODE=True`` (and
+``NotImplementedError`` otherwise); progressive JPEG is rejected as
+undecodable like any malformed row.
 The Spark-side plumbing is identical either way: schemas, batch
 iteration, UDF signatures, partition-level batching, and raw-byte
 metadata (magic sniffing, sizes, content hashes).
@@ -539,8 +541,11 @@ def video_metadata(df: DataFrame, url_col: str = "url",
     dimensions, stsd codec fourcc); AVI payloads take dimensions/frame
     count from the RIFF headers.  This is the resolution/duration gate a
     corpus pipeline applies long before any (expensive, codec-bound)
-    frame decode.  Unparseable payloads are skipped."""
-    from fuzzy_search_spark.pipeline.codecs import parse_mp4_meta
+    frame decode.  webm/Matroska payloads walk the EBML tree (Segment >
+    Info duration, Tracks > Video dimensions, CodecID).  Unparseable
+    payloads are skipped."""
+    from fuzzy_search_spark.pipeline.codecs import (parse_mp4_meta,
+                                                    parse_webm_meta)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -552,6 +557,10 @@ def video_metadata(df: DataFrame, url_col: str = "url",
                 try:
                     if mtype == "video/mp4":
                         m = parse_mp4_meta(bytes(payload))
+                        rows.append((url, mtype, m["duration_ms"],
+                                     m["width"], m["height"], m["codec"]))
+                    elif mtype == "video/webm":
+                        m = parse_webm_meta(bytes(payload))
                         rows.append((url, mtype, m["duration_ms"],
                                      m["width"], m["height"], m["codec"]))
                     elif mtype == "video/avi":
@@ -604,6 +613,29 @@ def synth_mp4_mjpeg_payload(df: DataFrame, id_col: str = "doc_id",
                     jpegs.append(encode_jpeg_gray(img))
                 urls.append(str(doc_id))
                 payloads.append(encode_mp4_mjpeg(jpegs, 16, 16))
+            yield pd.DataFrame({"url": urls, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        process, "url string, payload binary")
+
+
+def synth_webm_payload(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(url, payload): a VALID metadata-only webm (EBML header +
+    Segment(Info + Tracks)) per row, fields derived from the id — width
+    16*(1+id%4), height 16*(1+id%3), duration 2000+id ms, codec
+    V_VP9/V_VP8 by parity — all oracle-computable analytically."""
+    from fuzzy_search_spark.pipeline.codecs import encode_webm_meta
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, payloads = [], []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                urls.append(str(did))
+                payloads.append(encode_webm_meta(
+                    16 * (1 + did % 4), 16 * (1 + did % 3), 2000 + did,
+                    codec_id="V_VP9" if did % 2 == 0 else "V_VP8"))
             yield pd.DataFrame({"url": urls, "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

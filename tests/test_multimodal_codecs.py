@@ -673,3 +673,42 @@ def test_mp4_mjpeg_roundtrip_and_sampling(spark):
         mean = sum(digest[:4]) / 4.0
         assert row.height == 16 and row.width == 16
         assert row.mean_rgb[0] == pytest.approx(mean, abs=1e-9)
+
+
+def test_webm_metadata_parse(spark):
+    """EBML tree walk extracts duration/dimensions/codec from webm
+    (Matroska) payloads without touching coded samples; mixes with mp4
+    in one video_metadata pass; garbage/truncation raise or are skipped."""
+    import pytest
+
+    from fuzzy_search_spark.pipeline.codecs import (encode_mp4_stub,
+                                                    encode_webm_meta,
+                                                    parse_webm_meta)
+    from fuzzy_search_spark.pipeline.multimodal import (sniff_media_type,
+                                                        video_metadata)
+
+    webm = encode_webm_meta(1920, 1080, 654321, codec_id="V_VP9")
+    assert sniff_media_type(webm) == "video/webm"
+    assert parse_webm_meta(webm) == {"duration_ms": 654321, "width": 1920,
+                                     "height": 1080, "codec": "V_VP9"}
+    # zero duration still parses; the codec string round-trips
+    zero = encode_webm_meta(64, 48, 0, codec_id="V_VP8")
+    assert parse_webm_meta(zero) == {"duration_ms": 0, "width": 64,
+                                     "height": 48, "codec": "V_VP8"}
+
+    with pytest.raises(ValueError):
+        parse_webm_meta(b"\x1a\x45\xdf\xa3")          # header only
+    with pytest.raises(ValueError):
+        parse_webm_meta(b"RIFFxxxxWEBP")              # not EBML at all
+
+    mp4 = encode_mp4_stub(320, 240, 777, codec=b"avc1")
+    df = spark.createDataFrame(
+        [("w", bytearray(webm)), ("m", bytearray(mp4)),
+         ("junk", bytearray(b"\x1a\x45\xdf\xa3\xff\xff\xff"))],
+        "url string, payload binary")
+    rows = {r.url: r for r in video_metadata(df).collect()}
+    assert set(rows) == {"w", "m"}
+    assert (rows["w"].media_type, rows["w"].width, rows["w"].height,
+            rows["w"].codec, rows["w"].duration_ms) == \
+        ("video/webm", 1920, 1080, "V_VP9", 654321)
+    assert rows["m"].codec == "avc1"
