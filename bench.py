@@ -133,11 +133,14 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
     qmap = entry.queries()
     out = {}
     for name in names:
-        # best-of-2: single-shot timings charge whole-session first-touch
+        # best-of-3: single-shot timings charge whole-session first-touch
         # costs (codegen/JIT compile, memory ramp) to whichever queries
-        # run early — observed 46 s vs 2.7 s warm on the same query
+        # run early — observed 46 s vs 2.7 s warm on the same query — and
+        # same-day identical-code runs still swing individual queries
+        # 2-3x on this overcommitted host (noise is strictly additive, so
+        # the minimum is the cleanest estimate)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
