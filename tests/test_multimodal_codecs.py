@@ -712,3 +712,36 @@ def test_webm_metadata_parse(spark):
             rows["w"].codec, rows["w"].duration_ms) == \
         ("video/webm", 1920, 1080, "V_VP9", 654321)
     assert rows["m"].codec == "avc1"
+
+
+def test_container_parsers_fail_cleanly_on_mutations():
+    """Randomly mutated container payloads must either parse to a dict or
+    raise ValueError — never escape with IndexError/struct.error/etc.
+    (the Spark-side feature extractors skip ValueError rows; anything
+    else would kill the executor task)."""
+    import random
+
+    from fuzzy_search_spark.pipeline.codecs import (encode_mp4_stub,
+                                                    encode_webm_meta,
+                                                    parse_mp4_meta,
+                                                    parse_webm_meta)
+
+    rng = random.Random(7)
+    mp4 = bytearray(encode_mp4_stub(64, 48, 500, codec=b"avc1"))
+    webm = bytearray(encode_webm_meta(64, 48, 500, codec_id="V_VP9"))
+    for parser, payload in ((parse_mp4_meta, mp4), (parse_webm_meta, webm)):
+        for _ in range(300):
+            mutated = bytearray(payload)
+            for _ in range(rng.randint(1, 4)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                out = parser(bytes(mutated))
+                assert isinstance(out, dict)
+            except ValueError:
+                pass
+        for cut in (0, 1, 3, 7, len(payload) // 2, len(payload) - 1):
+            try:
+                out = parser(bytes(payload[:cut]))
+                assert isinstance(out, dict)
+            except ValueError:
+                pass
