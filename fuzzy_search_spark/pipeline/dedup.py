@@ -356,8 +356,9 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
     Scale shape: one (or two, once doubling engages) co-keyed joins +
     one hash aggregation per round, each round localCheckpoint()ed so
     the lineage does not grow with iterations (the classic
-    iterative-Spark failure mode); the convergence check is a single
-    count of changed labels — the same job whose result drives the
+    iterative-Spark failure mode); the convergence check is a flag
+    column computed in the same pass and counted off the checkpointed
+    table — no per-round labels-join job — and the same count drives the
     doubling trigger, so adaptivity adds zero actions.
     ``max_iterations`` bounds pathological inputs; the loop exits early
     on fixpoint.  If the budget runs out first a warning is emitted —
@@ -380,10 +381,13 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                                      F.col("label").alias("nbr_label")), "b")
             .groupBy("a").agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # the previous label rides along as ``old`` so the convergence
+        # check is a flag on the SAME materialized pass — no extra
+        # labels-join job per round just to count changes
         stepped = (
             labels.join(nbr.select(F.col("a").alias("node"), "nbr_min"),
                         "node", "left")
-            .select("node",
+            .select("node", F.col("label").alias("old"),
                     F.least(F.col("label"),
                             F.coalesce(F.col("nbr_min"), F.col("label")))
                     .alias("label"))
@@ -398,21 +402,21 @@ def connected_components(pairs_df: DataFrame, src: str = "id_a",
                     stepped.select(F.col("node").alias("label"),
                                    F.col("label").alias("parent_label")),
                     "label")
-                .select("node",
+                .select("node", "old",
                         F.least(F.col("label"), F.col("parent_label"))
                         .alias("label"))
             )
-        new_labels = stepped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.select(F.col("node"), F.col("label").alias("new"))
-            .join(labels, "node")
-            .filter(F.col("new") != F.col("label")).count()
+        new_labels = (
+            stepped.select("node", "label",
+                           (F.col("label") != F.col("old")).alias("chg"))
+            .localCheckpoint(eager=True)
         )
+        changed = new_labels.filter("chg").count()
         if (not doubling and prev_changed is not None
                 and changed * 2 >= prev_changed and changed > 0):
             doubling = True
         prev_changed = changed
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
