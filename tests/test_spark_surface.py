@@ -761,3 +761,21 @@ def test_bucketed_join_is_colocated(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS matches_b")
         if old_wh is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_wh)
+
+
+def test_match_job_plan_is_narrow(spark, pages_path):
+    """The headline job (scan -> mapInPandas -> [write]) must stay a
+    single narrow stage: no Exchange anywhere unless salting is asked
+    for — the property that makes throughput scale linearly with
+    executors at 10^12 rows."""
+    from fuzzy_search_spark.spark.job import match_documents, salt_by_url
+
+    model = compile_model(README_MODEL, README_CONFIG)
+    df = spark.read.parquet(pages_path)
+    plan = match_documents(df, model)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan, plan
+    # salting is the one deliberate shuffle, and exactly one
+    salted = match_documents(salt_by_url(df, 8), model)
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange") == 1, splan
