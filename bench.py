@@ -314,7 +314,20 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 1),
         "scaling": scaling,
     }
-    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH", "last_local_run.json"), "w") as fh:
+        json.dump(result, fh)
+    # the driver captures only the LAST ~2000 chars of output and parses
+    # the final line as JSON (the round-3 line was 2040 chars and came
+    # back "parsed": null) — print a slim line: per-sample scaling
+    # diagnostics live in BENCH/BASELINE.md and last_local_run.json
+    slim = dict(result)
+    slim["queries"] = {k: round(v, 2) for k, v in queries.items()}
+    if scaling:
+        slim["scaling"] = {k: v for k, v in scaling.items()
+                           if k not in ("walls_small", "walls_big",
+                                        "pair_efficiencies", "hw_samples",
+                                        "hw_per_worker_s")}
+    print(json.dumps(slim))
 
 
 def _write_baseline_md(n_docs: int, big: dict, scaling: dict,
