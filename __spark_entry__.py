@@ -2329,7 +2329,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
             ORDER BY b.doc_id
         """,
-        "packing_plan": """
+        "packing_plan": r"""
             WITH b AS (
               SELECT doc_id,
                      CAST('0x' || substr(md5('pack-v1:'
@@ -3255,7 +3255,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-        "tfidf_topk": """
+        "tfidf_topk": r"""
             WITH pairs AS (
               SELECT doc_id, term, count(*) AS tf FROM (
                 SELECT doc_id,
