@@ -207,6 +207,12 @@ def _sweep_candidates(cp: CompiledPhrase, grams, text: str,
         gl = [g[2] for g in grams]
     if not gk:
         return []
+    # pre-gate: a window's distinct-gram overlap can never exceed the
+    # stream's global distinct count, so if even that upper bound is
+    # below the threshold no emit is possible and the sweep is a no-op.
+    # (Same float expression as the emit check, so no boundary drift.)
+    if len(set(gk)) / len(cp.gram_set) < skipgram_threshold:
+        return []
     candidates: List[_Candidate] = []
     early = cp.early
     late = cp.late
@@ -374,6 +380,12 @@ def _sweep_candidates_local(cp: CompiledPhrase, gk, gs, gl, text: str,
     0<->1 count transitions.  Equivalence with the generic sweep is pinned
     by tests/test_sweep_equivalence.py."""
     if not gk:
+        return []
+    # pre-gate: same global-distinct upper bound as _sweep_candidates —
+    # a sweep whose whole stream can't reach the overlap threshold in
+    # any window is skipped outright (big win on sparse corpora where
+    # most phrases share only a few grams with most documents).
+    if len(set(gk)) / len(cp.loc_freq) < skipgram_threshold:
         return []
     candidates: List[_Candidate] = []
     loc_early = cp.loc_early
