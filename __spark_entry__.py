@@ -229,6 +229,15 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_docs(spark, sf_dir), k=5).orderBy("span_hash")
 
 
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional ExactSubstr view: maximal per-document token ranges
+    covered by 5-token windows duplicated across >= 2 documents."""
+    from fuzzy_search_spark.pipeline.textstats import cross_doc_spans
+
+    return (cross_doc_spans(_docs(spark, sf_dir), k=5)
+            .orderBy("doc_id", "tok_start"))
+
+
 def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document share of 5-token spans that repeat across documents."""
     from fuzzy_search_spark.pipeline.textstats import boilerplate_ratio
@@ -1443,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
+        "cross_doc_spans": q_cross_doc_spans,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "media_metadata": q_media_metadata,
@@ -2110,6 +2120,45 @@ def oracle_sql() -> dict[str, str]:
                              for i in range(1, greatest(len(w) - 4, 1) + 1)])
                      AS winnow_min
             FROM n ORDER BY doc_id
+        """,
+        "cross_doc_spans": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([i - 1 for i in
+                             range(1, greatest(len(w) - 4, 0) + 1)]) AS pos,
+                     unnest([array_to_string(w[i:i+4], ' ')
+                             for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                       AS gram
+              FROM words WHERE len(w) >= 5
+            ), h AS (
+              SELECT doc_id, pos,
+                     CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       AS span_hash
+              FROM g WHERE length(gram) > 0
+            ), flagged AS (
+              SELECT span_hash FROM h
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ), d AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+              FROM h SEMI JOIN flagged USING (span_hash)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos - prev > 5
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS tok_start,
+                   CAST(max(pos) + 5 AS BIGINT) AS tok_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, tok_start
         """,
         "duplicate_spans": r"""
             WITH words AS (

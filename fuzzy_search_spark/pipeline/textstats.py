@@ -143,6 +143,73 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def cross_doc_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Per-document POSITIONAL cross-corpus duplication (the ExactSubstr
+    view of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", §4.2, re-expressed window-hash-first): every maximal
+    token range of a document covered by k-token windows whose text also
+    occurs in >= ``min_docs`` distinct documents, as merged (tok_start,
+    tok_end) spans with the covering window count.  ``duplicate_spans``
+    reports WHICH spans are corpus-duplicated; this reports WHERE they
+    sit in each document, merged into maximal ranges — the output a
+    surgical span-removal pass consumes.  Suffix-array ExactSubstr finds
+    duplicates of any length >= k; fixed-k window hashing finds the same
+    ranges whenever the duplicated run is >= k tokens (shorter runs are
+    below the dedup threshold by construction), at the cost of one scan
+    + two hash exchanges instead of a distributed suffix sort.
+
+    Scale shape: scan -> posexplode k-gram windows (linear zip_with
+    build) -> 60-bit md5 window keys; the flagged-window set is ONE
+    hash aggregation keyed by window hash (countDistinct planner-expands
+    to two-level partial aggregation, so hot boilerplate windows combine
+    map-side); membership is a left-semi join on the hash (the flagged
+    set is the small side — AQE broadcasts it when it fits); span
+    merging is a per-document window (gaps-and-islands: a window starting
+    <= k after the previous one overlaps or abuts it, runs sort only
+    within each document's rows).  Token positions, not char offsets:
+    identical tokenization to every other word-gram op (lower + \\s+
+    split), so the DuckDB oracle mirrors the pipeline verbatim."""
+    from pyspark.sql import Window
+
+    from fuzzy_search_spark.analysis.freq import _ngram_array
+    from fuzzy_search_spark.pipeline.dedup import _hash60
+
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(_ngram_array(text_col, k, pad=False))
+                  .alias("pos", "gram"))
+        .filter(F.length("gram") > 0)
+        .select("doc_id", "pos", _hash60(F.col("gram")).alias("span_hash"))
+    )
+    flagged = (
+        wins.groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("span_hash")
+    )
+    dup = wins.join(flagged, "span_hash", "leftsemi")
+    byq = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("_prev", F.lag("pos").over(byq))
+        .withColumn("_new",
+                    F.when(F.col("_prev").isNull()
+                           | (F.col("pos") - F.col("_prev") > k),
+                           F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_isl", F.sum("_new").over(byq))
+    )
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("_start"), F.max("pos").alias("_maxpos"),
+             F.count(F.lit(1)).alias("_nw"))
+        .select("doc_id",
+                F.col("_start").cast("long").alias("tok_start"),
+                (F.col("_maxpos") + k).cast("long").alias("tok_end"),
+                F.col("_nw").cast("long").alias("n_windows"))
+    )
+
+
 def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 8,
                       min_docs: int = 2) -> DataFrame:

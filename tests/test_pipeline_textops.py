@@ -859,3 +859,66 @@ def test_lm_trigram_bigram_backoff_path(spark):
            + round(math.log10(a * a * (2 + 1) / D) * 1e6)  # b unigram
            + round(math.log10(a * 2 / 2) * 1e6))           # bigram 'b c'
     assert out.sum_logp_micro == exp
+
+
+# ---------------------------------------------------------------------------
+# cross_doc_spans
+# ---------------------------------------------------------------------------
+
+def test_cross_doc_spans_crafted(spark):
+    """Positional ExactSubstr semantics, hand-computed: a 7-token run
+    shared by two docs merges into one maximal span per doc; within-doc
+    repeats alone never flag; distant flagged windows stay separate
+    islands; a fully-shared doc pair is one full-width span."""
+    from fuzzy_search_spark.pipeline.textstats import cross_doc_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c1 c2 c3 c4 c5 c6 c7 x y z"),
+            (2, "p q r c1 c2 c3 c4 c5 c6 c7 s"),
+            (3, "m n o m n o m n"),                       # within-doc only
+            (4, "c1 c2 c3 t u v w1 w2 w3 g h i c1 c2 c3"),
+            (5, "x1 w1 w2 w3 x2"),
+            (6, "d1 d2 d3 d4 d5 d6"),
+            (7, "d1 d2 d3 d4 d5 d6"),
+        ],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.tok_start): (r.tok_end, r.n_windows)
+           for r in cross_doc_spans(docs, k=3).collect()}
+    assert out == {
+        (1, 2): (9, 5),
+        (2, 3): (10, 5),
+        (4, 0): (3, 1), (4, 6): (9, 1), (4, 12): (15, 1),
+        (5, 1): (4, 1),
+        (6, 0): (6, 4),
+        (7, 0): (6, 4),
+    }
+
+
+def test_cross_doc_spans_abutting_windows_merge(spark):
+    """Two flagged windows exactly k apart cover abutting token ranges
+    and must merge into one span (the > k island break is strict)."""
+    from fuzzy_search_spark.pipeline.textstats import cross_doc_spans
+
+    # "e1 e2 e3" at pos 0 and "f1 f2 f3" at pos 3 — both corpus-duplicated,
+    # ranges [0,3) + [3,6) abut -> one island [0,6).
+    docs = spark.createDataFrame(
+        [(1, "e1 e2 e3 f1 f2 f3"),
+         (2, "zz e1 e2 e3 yy"),
+         (3, "qq f1 f2 f3 rr")],
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.tok_start, r.tok_end, r.n_windows)
+            for r in cross_doc_spans(docs, k=3).collect()}
+    assert (1, 0, 6, 2) in rows
+    assert (2, 1, 4, 1) in rows and (3, 1, 4, 1) in rows
+
+
+def test_cross_doc_spans_plan_shape(spark):
+    """Aggregations stay in HashAggregate (numeric keys/buffers); no
+    Python stage anywhere; the only sort is the per-document island
+    window (inherent to gaps-and-islands)."""
+    from fuzzy_search_spark.pipeline.textstats import cross_doc_spans
+
+    plan = _plan(cross_doc_spans(_docs(spark), k=3))
+    assert "SortAggregate" not in plan
+    assert "Python" not in plan
