@@ -128,8 +128,9 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "gif_frame_features", "jpeg_features", "avi_frame_features",
              "video_metadata", "corpus_profile", "lm3_doc_scores",
              "crawl_delta", "assign_splits", "sitemap_entries",
-             # round 4: real MJPEG-in-MP4 container decode
-             "mp4_frame_features"]
+             # round 4: real MJPEG-in-MP4 container decode + positional
+             # ExactSubstr spans
+             "mp4_frame_features", "cross_doc_spans"]
     qmap = entry.queries()
     out = {}
     for name in names:
