@@ -238,6 +238,15 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "tok_start"))
 
 
+def q_strip_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal pass: cut tokens covered by cross-doc
+    duplicated 5-token windows out of every document."""
+    from fuzzy_search_spark.pipeline.textstats import strip_cross_doc_spans
+
+    return (strip_cross_doc_spans(_docs(spark, sf_dir), k=5)
+            .orderBy("doc_id"))
+
+
 def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document share of 5-token spans that repeat across documents."""
     from fuzzy_search_spark.pipeline.textstats import boilerplate_ratio
@@ -1453,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
         "cross_doc_spans": q_cross_doc_spans,
+        "strip_cross_doc_spans": q_strip_cross_doc_spans,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "media_metadata": q_media_metadata,
@@ -2159,6 +2169,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl GROUP BY doc_id, island
             ORDER BY doc_id, tok_start
+        """,
+        "strip_cross_doc_spans": r"""
+            WITH words AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([i - 1 for i in
+                             range(1, greatest(len(w) - 4, 0) + 1)]) AS pos,
+                     unnest([array_to_string(w[i:i+4], ' ')
+                             for i in range(1, greatest(len(w) - 4, 0) + 1)])
+                       AS gram
+              FROM words WHERE len(w) >= 5
+            ), h AS (
+              SELECT doc_id, pos,
+                     CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       AS span_hash
+              FROM g WHERE length(gram) > 0
+            ), flagged AS (
+              SELECT span_hash FROM h
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ), d AS (
+              SELECT doc_id, pos
+              FROM h SEMI JOIN flagged USING (span_hash)
+            ), worig AS (
+              SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+                     unnest(w) AS tok
+              FROM worig
+            ), kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM toks t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM d
+                WHERE d.doc_id = t.doc_id
+                  AND t.pos >= d.pos AND t.pos < d.pos + 5)
+            )
+            SELECT worig.doc_id,
+                   CAST(len(worig.w) AS BIGINT) AS n_tokens,
+                   CAST(len(worig.w) - count(kept.tok) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos),
+                            '') AS clean_text
+            FROM worig LEFT JOIN kept USING (doc_id)
+            GROUP BY worig.doc_id, worig.w
+            ORDER BY worig.doc_id
         """,
         "duplicate_spans": r"""
             WITH words AS (

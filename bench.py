@@ -130,7 +130,8 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              "crawl_delta", "assign_splits", "sitemap_entries",
              # round 4: real MJPEG-in-MP4 container decode + positional
              # ExactSubstr spans
-             "mp4_frame_features", "cross_doc_spans"]
+             "mp4_frame_features", "cross_doc_spans",
+             "strip_cross_doc_spans"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -210,6 +210,55 @@ def cross_doc_spans(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def strip_cross_doc_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8,
+                          min_docs: int = 2) -> DataFrame:
+    """Apply :func:`cross_doc_spans` as a TRANSFORMATION: drop every token
+    covered by a cross-corpus duplicated k-token window and reassemble
+    the remainder in order — the ExactSubstr removal pass itself (Lee et
+    al. 2021 cut the duplicated substring out of the training text rather
+    than dropping the document; this is that surgical cut, token-aligned).
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    row.  ``clean_text`` is whitespace-normalized (tokens rejoined with
+    single spaces) for all rows, touched or not, so output text is
+    uniformly normalized — same contract DuckDB can mirror exactly.
+
+    Scale shape: the span side is :func:`cross_doc_spans` rolled up to a
+    per-doc span array (bounded by document size); the apply side joins
+    it back doc-keyed and drops covered tokens with a higher-order
+    filter-by-index over the word array — pure JVM column algebra, no
+    explode and no Python on the rebuild.  The corpus is scanned twice
+    (detect + apply), the inherent diamond of self-referential cleanup;
+    at production scale persist/checkpoint the span table between the
+    two passes."""
+    spans = cross_doc_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    span_arrays = (
+        spans.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("tok_start", "tok_end"))
+             .alias("_spans"))
+    )
+    words = F.split(F.col(text_col), r"\s+")
+    joined = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .join(span_arrays, "doc_id", "left")
+        .withColumn("_spans", F.coalesce(F.col("_spans"), F.array()))
+    )
+    # NB the two-parameter higher-order lambda receives the array INDEX
+    # as its second argument — here that convention is load-bearing.
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["tok_start"]) & (i < s["tok_end"])))
+    return joined.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def boilerplate_ratio(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 8,
                       min_docs: int = 2) -> DataFrame:

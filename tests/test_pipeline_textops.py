@@ -922,3 +922,48 @@ def test_cross_doc_spans_plan_shape(spark):
     plan = _plan(cross_doc_spans(_docs(spark), k=3))
     assert "SortAggregate" not in plan
     assert "Python" not in plan
+
+
+def test_strip_cross_doc_spans_crafted(spark):
+    """The removal pass cuts exactly the covered token ranges, keeps
+    every input row (totality), and reports token accounting."""
+    from fuzzy_search_spark.pipeline.textstats import strip_cross_doc_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c1 c2 c3 c4 c5 c6 c7 x y z"),
+         (2, "p q r c1 c2 c3 c4 c5 c6 c7 s"),
+         (3, "m n o m n o m n"),           # within-doc only: untouched
+         (4, "lone   doc    with   gaps")],  # whitespace normalization
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in strip_cross_doc_spans(docs, k=3).collect()}
+    assert out == {
+        1: (12, 7, "a b x y z"),
+        2: (11, 7, "p q r s"),
+        3: (8, 0, "m n o m n o m n"),
+        4: (4, 0, "lone doc with gaps"),
+    }
+
+
+def test_strip_cross_doc_spans_case_insensitive_detection(spark):
+    """Windows are detected on lowered text (same stream as every other
+    word-gram op) but the ORIGINAL tokens are removed/kept."""
+    from fuzzy_search_spark.pipeline.textstats import strip_cross_doc_spans
+
+    docs = spark.createDataFrame(
+        [(1, "KEEP Alpha BETA gamma END"),
+         (2, "x alpha beta GAMMA y")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.clean_text
+           for r in strip_cross_doc_spans(docs, k=3).collect()}
+    assert out == {1: "KEEP END", 2: "x y"}
+
+
+def test_strip_cross_doc_spans_no_python_stage(spark):
+    """The rebuild is JVM column algebra: a doc-keyed join plus a
+    higher-order filter-by-index — no Python stage anywhere."""
+    from fuzzy_search_spark.pipeline.textstats import strip_cross_doc_spans
+
+    plan = _plan(strip_cross_doc_spans(_docs(spark), k=3))
+    assert "Python" not in plan
+    assert "SortAggregate" not in plan
