@@ -176,20 +176,41 @@ def cross_doc_spans(df: DataFrame, id_col: str = "doc_id",
     from fuzzy_search_spark.analysis.freq import _ngram_array
     from fuzzy_search_spark.pipeline.dedup import _hash60
 
+    # the explicit repartition is a shared-exchange barrier, not load
+    # balancing: both consumers below (the flag aggregation and the
+    # membership probe) need the windows hash-partitioned by span_hash,
+    # and with the isNotNull predicates pinned on the barrier (the join
+    # would push them into only the probe branch) the two subtrees
+    # canonicalize equal, so the scan + explode materializes ONCE and the
+    # second consumer is a ReusedExchange (same trick as
+    # strip_duplicate_paragraphs; guarded by the plan-shape test).
     wins = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.posexplode(_ngram_array(text_col, k, pad=False))
                   .alias("pos", "gram"))
         .filter(F.length("gram") > 0)
         .select("doc_id", "pos", _hash60(F.col("gram")).alias("span_hash"))
+        .filter(F.col("span_hash").isNotNull() & F.col("doc_id").isNotNull())
+        .repartition("span_hash")
     )
+    # the `_mpos` rider aggregate keeps `pos` alive below the shared
+    # exchange (column pruning would otherwise drop it from this branch
+    # only and the subtrees would stop canonicalizing equal); min(), not
+    # count() — count(col) is rewritten to count(1) and prunes anyway
     flagged = (
         wins.groupBy("span_hash")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("span_hash")
+        .agg(F.countDistinct("doc_id").alias("_nd"),
+             F.min("pos").alias("_mpos"))
+        .filter((F.col("_nd") >= min_docs) & (F.col("_mpos") >= 0))
+        .select("span_hash", F.lit(1).alias("_dup"))
     )
-    dup = wins.join(flagged, "span_hash", "leftsemi")
+    # left join + flag filter rather than leftsemi: flagged is unique per
+    # span_hash (no row multiplication), and the outer join keeps the
+    # probe branch consuming the SAME repartition exchange (EnsureRequirements
+    # replaces a user repartition under a semi-join, breaking the reuse)
+    dup = (wins.join(flagged, "span_hash", "left")
+           .filter(F.col("_dup").isNotNull())
+           .select("doc_id", "pos"))
     byq = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         dup.withColumn("_prev", F.lag("pos").over(byq))

@@ -916,12 +916,19 @@ def test_cross_doc_spans_abutting_windows_merge(spark):
 def test_cross_doc_spans_plan_shape(spark):
     """Aggregations stay in HashAggregate (numeric keys/buffers); no
     Python stage anywhere; the only sort is the per-document island
-    window (inherent to gaps-and-islands)."""
+    window (inherent to gaps-and-islands); and the flag aggregation +
+    membership probe share ONE exchange at runtime (the corpus is
+    scanned and exploded exactly once)."""
     from fuzzy_search_spark.pipeline.textstats import cross_doc_spans
 
-    plan = _plan(cross_doc_spans(_docs(spark), k=3))
+    df = cross_doc_spans(_docs(spark), k=3)
+    plan = _plan(df)
     assert "SortAggregate" not in plan
     assert "Python" not in plan
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert final.count("Reused") >= 1, "window subtree not stage-reused"
 
 
 def test_strip_cross_doc_spans_crafted(spark):
