@@ -589,6 +589,23 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity tiers: rank every document
+    within its detected language by the exact integer micro-unit LM
+    score and split head/middle/tail by rank thirds.  Integer ranking
+    keys end-to-end — no float comparisons cross-engine."""
+    from fuzzy_search_spark.pipeline.lm import (perplexity_tiers,
+                                                score_documents,
+                                                train_bigram_lm)
+    from fuzzy_search_spark.pipeline.textstats import language_id
+
+    docs = _docs(spark, sf_dir)
+    uni, big, tot = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = score_documents(docs, uni, big, tot)
+    langs = language_id(docs)
+    return perplexity_tiers(scored, langs).orderBy("doc_id")
+
+
 def q_strip_dup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph dedup as a transformation (RefinedWeb/C4
     style): remove paragraphs shared by >= 2 documents and reassemble.
@@ -787,6 +804,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cosine_pairs(_embeddings(spark, sf_dir),
                         threshold=0.45).orderBy("id_a", "id_b")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the embeddings,
+    drop every vector with a lower-id same-cluster neighbor at cosine
+    >= 0.40.  The oracle retrains the quantizer driver-side
+    (ivf_train_local is bit-identical to the distributed trainer) and
+    re-derives assignment + intra-cluster pairs in SQL."""
+    from fuzzy_search_spark.pipeline.ann import semantic_dedup
+
+    return semantic_dedup(_embeddings(spark, sf_dir), n_clusters=8,
+                          iters=2, threshold=0.40).orderBy("vec_id")
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     so a time-truncated sweep still maximizes coverage."""
     return {
         # -- (A) never driver-checked before r4 ---------------------------
+        "semantic_dedup": q_semantic_dedup,
+        "perplexity_tiers": q_perplexity_tiers,
         "mp4_frame_features": q_mp4_frame_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
@@ -1942,6 +1973,63 @@ def oracle_sql() -> dict[str, str]:
     except Exception:  # embeddings table absent: skip this oracle entry
         ann_ivf_sql = None
 
+    # semantic_dedup: same literal-centroid pattern, but the quantizer is
+    # trained over ALL vectors (no query row excluded) with the query's
+    # (n_clusters=8, iters=2); assignment, intra-cluster pairs and the
+    # greedy-by-id keep rule re-derive in pure SQL.  The threshold
+    # compares the raw cosine exactly as the Spark side does.
+    semdedup_sql = None
+    try:
+        import pyarrow.parquet as pq
+
+        from fuzzy_search_spark.pipeline.ann import ivf_train_local
+
+        _sfdir2 = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                 "/root/testdata/sf0.01")
+        _emb2 = pq.read_table(f"{_sfdir2}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        _cents2 = ivf_train_local(_emb2.column("vec_id").to_pylist(),
+                                  _emb2.column("embedding").to_pylist(),
+                                  n_clusters=8, iters=2)
+        _cent_values2 = ", ".join(
+            "({cid}, [{v}]::DOUBLE[])".format(
+                cid=cid, v=",".join(repr(float(x)) for x in c))
+            for cid, c in enumerate(_cents2))
+        semdedup_sql = """
+            WITH cents(cid, cvec) AS (VALUES {cent_values}),
+            body AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), dist AS (
+              SELECT vec_id, cid,
+                     round(list_sum(list_transform(range(1, 65),
+                           i -> (e[i] - cvec[i]) * (e[i] - cvec[i]))), 9)
+                       AS d2
+              FROM body, cents
+            ), assigned AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM dist)
+              WHERE rn = 1
+            ), m AS (
+              SELECT b.vec_id, b.e, a.cid
+              FROM body b JOIN assigned a USING (vec_id)
+            ), wit AS (
+              SELECT a.vec_id, min(b.vec_id) AS dup_of
+              FROM m a JOIN m b
+                ON a.cid = b.cid AND a.vec_id > b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.40
+              GROUP BY 1
+            )
+            SELECT m.vec_id, m.cid, w.dup_of IS NULL AS keep,
+                   CAST(w.dup_of AS BIGINT) AS dup_of
+            FROM m LEFT JOIN wit w ON w.vec_id = m.vec_id
+            ORDER BY m.vec_id
+        """.format(cent_values=_cent_values2)
+    except Exception:  # embeddings table absent: skip this oracle entry
+        semdedup_sql = None
+
     simhash_bits = 60
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -2033,7 +2121,7 @@ def oracle_sql() -> dict[str, str]:
              ELSE encode('')
            END"""
 
-    return {
+    d = {
         "exact_match_counts": f"""
             WITH phrases(phrase) AS (VALUES {_EXACT_PHRASE_VALUES})
             SELECT doc_id, phrase,
@@ -3656,3 +3744,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY user_id, event_id
         """,
     }
+    if semdedup_sql:
+        d["semantic_dedup"] = semdedup_sql
+    # perplexity_tiers composes the lm_doc_scores and language_id oracles
+    # verbatim as CTE subqueries (DuckDB allows a WITH inside a
+    # parenthesized CTE body), then ranks on the exact integer micro-unit
+    # mean — the same no-float-comparison contract as the Spark side.
+    # floor() and row_number() outputs are cast so the result schema
+    # carries only BIGINT/INTEGER/VARCHAR (oracle-typing lint).
+    d["perplexity_tiers"] = f"""
+        WITH lm AS ({d["lm_doc_scores"]}),
+        lg AS ({d["language_id"]}),
+        slim AS (
+          SELECT lm.doc_id, lg.lang_guess AS lang,
+                 CASE WHEN lm.n_scored > 0
+                      THEN CAST(round(lm.sum_logp_micro
+                                      / lm.n_scored::DOUBLE) AS BIGINT)
+                      ELSE 0 END AS avg_logp_micro
+          FROM lm JOIN lg ON lm.doc_id = lg.doc_id
+        ), ranked AS (
+          SELECT doc_id, lang, avg_logp_micro,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY avg_logp_micro DESC, doc_id)
+                   AS lang_rank,
+                 count(*) OVER (PARTITION BY lang) AS n_lang
+          FROM slim
+        )
+        SELECT doc_id, lang, avg_logp_micro,
+               CAST(lang_rank AS BIGINT) AS lang_rank,
+               CAST(n_lang AS BIGINT) AS n_lang,
+               CAST(floor(3.0 * (lang_rank - 1) / n_lang) AS INTEGER)
+                 AS tier_idx,
+               CASE CAST(floor(3.0 * (lang_rank - 1) / n_lang) AS INTEGER)
+                 WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+               END AS tier
+        FROM ranked ORDER BY doc_id
+    """
+    return d

@@ -285,6 +285,65 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
+                   threshold: float = 0.40, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: List[List[float]] = None) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning over an embedding
+    column (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — the public recipe:
+    k-means-cluster the embeddings, then drop all-but-one of each group
+    of same-cluster items whose pairwise cosine exceeds a threshold).
+
+    Deterministic keep rule (parallel, engine-invariant): a vector is
+    DROPPED iff some lower-id vector in the same cluster has cosine
+    similarity >= ``threshold`` with it; ``dup_of`` is the smallest such
+    witness id.  This is the greedy-by-id variant of the paper's
+    "keep one per duplicate group": no iteration order, no RNG, and it
+    over-drops only on chains (a-b similar, b-c similar, a-c not),
+    exactly like the reference-free LSH dedup path.
+
+    Returns ``(id, cid, keep boolean, dup_of)`` for EVERY input row.
+
+    Scale shape: clustering bounds the quadratic pair work — the
+    intra-cluster self-join shuffles on ``cid`` only (the paper sizes
+    k ~ sqrt(N) so expected cluster size is sqrt(N), pair work N^1.5
+    total, embarrassingly parallel across clusters).  Training is
+    :func:`ivf_train` (broadcast k x dim per iteration, only k x dim
+    floats ever reach the driver); assignment is a broadcast
+    nested-loop min — no full-table collect anywhere.  For skewed
+    clusters apply the same oversized-bucket audit as the LSH dedup
+    path before the join.  Cross-engine determinism inherits the IVF
+    contract: 6-decimal centroid rounding, 9-decimal assignment
+    distances; the cosine threshold compares the raw IEEE value (same
+    contract as :func:`cosine_pairs` — a pair sitting exactly on the
+    threshold in one engine's summation order is the only divergence
+    surface, identical to the proven ``embedding_near_dup`` oracle)."""
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, iters, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    va = F.col("va").cast("array<double>")
+    vb = F.col("vb").cast("array<double>")
+    a = base.select(F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"),
+                    F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"),
+                    F.col(vec_col).alias("vb"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    witnesses = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b"))
+               & (F.col("id_a") > F.col("id_b")))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        base.select(id_col, "cid").join(witnesses, id_col, "left")
+        .select(F.col(id_col), F.col("cid"),
+                F.col("dup_of").isNull().alias("keep"), F.col("dup_of"))
+    )
+
+
 def quantize_embeddings_int8(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              engine: str = "jvm") -> DataFrame:

@@ -164,6 +164,66 @@ def score_documents(docs: DataFrame, unigrams: DataFrame,
         "perplexity", F.round(F.pow(F.lit(10.0), -F.col("avg_logp")), 4))
 
 
+def perplexity_tiers(scored: DataFrame, langs: DataFrame, n_tiers: int = 3,
+                     id_col: str = "doc_id", lang_col: str = "lang_guess",
+                     tier_names=("head", "middle", "tail")) -> DataFrame:
+    """CCNet-style per-language perplexity tiers (Wenzek et al. 2020:
+    split each language's documents into head/middle/tail by LM
+    perplexity; the head third is the cleanest training data).
+
+    ``scored`` is :func:`score_documents` output (needs ``n_scored``,
+    ``sum_logp_micro``); ``langs`` maps ``id_col`` -> ``lang_col``.
+    Ranking key is the exact integer micro-unit mean (higher log-prob =
+    lower perplexity = better), tie-broken by id, so the ordering — and
+    therefore every tier boundary — is engine- and partitioning-
+    invariant: no float comparisons anywhere.  ``tier_idx = floor(
+    n_tiers * (rank-1) / n_lang)`` gives equal-count tiers (first tiers
+    get the remainder), named via ``tier_names`` when ``n_tiers``
+    matches.
+
+    Returns ``(id, lang, avg_logp_micro, lang_rank, n_lang, tier_idx,
+    tier)``.
+
+    Scale shape: the window carries only (id, lang, 1 long) — bodies
+    never shuffle — but ``partitionBy(lang)`` serializes each language
+    into one task, which skews at web scale where one language is half
+    the corpus.  The 100-TB variant replaces the window with per-language
+    score-histogram cutoffs (two aggregation passes, fully parallel) at
+    the cost of boundary exactness; CCNet itself computes cutoffs from a
+    sample for the same reason.  This exact-rank form is the correctness
+    anchor the sampled variant is validated against."""
+    from pyspark.sql import Window
+
+    avg_micro = F.when(
+        F.col("n_scored") > 0,
+        F.round(F.col("sum_logp_micro") / F.col("n_scored")).cast("long")
+    ).otherwise(F.lit(0)).alias("avg_logp_micro")
+    slim = (scored.select(F.col(id_col), avg_micro)
+            .join(langs.select(F.col(id_col), F.col(lang_col).alias("lang")),
+                  id_col))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp_micro"), F.col(id_col))
+    wn = Window.partitionBy("lang")
+    ranked = (slim
+              .withColumn("lang_rank", F.row_number().over(w))
+              .withColumn("n_lang", F.count("*").over(wn))
+              .withColumn("tier_idx",
+                          F.floor(F.lit(n_tiers) * (F.col("lang_rank") - 1)
+                                  / F.col("n_lang")).cast("int")))
+    if len(tier_names) == n_tiers:
+        tier = None
+        for i, name in enumerate(tier_names):
+            case = F.when(F.col("tier_idx") == i, F.lit(name))
+            tier = case if tier is None else tier.when(
+                F.col("tier_idx") == i, F.lit(name))
+        ranked = ranked.withColumn("tier", tier)
+    else:
+        ranked = ranked.withColumn(
+            "tier", F.concat(F.lit("tier_"), F.col("tier_idx")))
+    return ranked.select(id_col, "lang", "avg_logp_micro", "lang_rank",
+                         "n_lang", "tier_idx", "tier")
+
+
 def _padded2_arrays(text_col: str):
     """Double-<s>-padded token array (trigram padding)."""
     return F.concat(F.array(F.lit(BOS), F.lit(BOS)), _tokens(text_col))

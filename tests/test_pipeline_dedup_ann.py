@@ -583,3 +583,60 @@ def test_quantize_engines_agree(spark):
         assert jvm[k].qvec == arw[k].qvec
         assert jvm[k].scale == arw[k].scale
         assert jvm[k].recon_cosine == arw[k].recon_cosine
+
+
+def test_semantic_dedup_crafted(spark):
+    """SemDeDup greedy-by-id contract against a pure-Python mirror:
+    every row comes back, keep == no lower-id same-cluster neighbor at
+    cosine >= tau, dup_of == the smallest such witness."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import (ivf_train_local,
+                                                 semantic_dedup)
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((4, 16)).round(4)
+    rows = []
+    for i in range(60):                      # 4 tight semantic groups
+        v = base[i % 4] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v.round(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, n_clusters=4, iters=2,
+                          threshold=0.9).collect()}
+    assert set(out) == set(range(60))        # total: every row classified
+
+    # python mirror: same trainer, same assignment, same greedy rule
+    cents = np.asarray(ivf_train_local([r[0] for r in rows],
+                                       [r[1] for r in rows],
+                                       n_clusters=4, iters=2))
+    vecs = np.asarray([r[1] for r in rows])
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).round(9)
+    cid = d2.argmin(axis=1)
+    norm = np.sqrt((vecs ** 2).sum(axis=1))
+    for i in range(60):
+        wits = [j for j in range(i)
+                if cid[j] == cid[i]
+                and float(vecs[i] @ vecs[j] / (norm[i] * norm[j])) >= 0.9]
+        assert out[i].cid == cid[i], i
+        assert out[i].keep == (not wits), i
+        assert out[i].dup_of == (min(wits) if wits else None), i
+    # the planted structure actually dedups: one representative per group
+    kept = [i for i in range(60) if out[i].keep]
+    assert len(kept) < 15
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The intra-cluster pair join must be an equi-join on cid (shuffle
+    bounded by cluster size), never a cartesian product, and centroid
+    assignment must broadcast the k-row centroid table."""
+    from fuzzy_search_spark.pipeline.ann import semantic_dedup
+
+    df = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> rand(7) + CAST(i AS DOUBLE)) "
+        "AS embedding")
+    plan = (semantic_dedup(df, n_clusters=2, iters=1, threshold=0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan     # the k-row centroid join

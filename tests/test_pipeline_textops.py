@@ -974,3 +974,50 @@ def test_strip_cross_doc_spans_no_python_stage(spark):
     plan = _plan(strip_cross_doc_spans(_docs(spark), k=3))
     assert "Python" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_perplexity_tiers_crafted(spark):
+    """Per-language CCNet tiers: exact integer ranking keys, equal-count
+    thirds per language, deterministic tie-break on doc_id."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_search_spark.pipeline.lm import perplexity_tiers
+
+    # synthetic scored rows: lang A has 6 docs (2/2/2 tiers), lang B has
+    # 4 (ceil boundaries: 2/1/1), one zero-scored doc, one exact tie.
+    scored = spark.createDataFrame(
+        [(i, n, s) for i, n, s in [
+            (0, 2, -200), (1, 2, -400), (2, 2, -600), (3, 2, -800),
+            (4, 2, -1000), (5, 0, 0),
+            (10, 2, -100), (11, 2, -300), (12, 2, -300), (13, 2, -900),
+        ]],
+        "doc_id long, n_scored long, sum_logp_micro long")
+    langs = spark.createDataFrame(
+        [(i, "aa" if i < 10 else "bb") for i in
+         [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]],
+        "doc_id long, lang_guess string")
+    out = {r.doc_id: r for r in
+           perplexity_tiers(scored, langs).collect()}
+
+    # lang aa: avg micro = -100,-200,-300,-400,-500, and doc 5 -> 0 (best)
+    order_aa = [5, 0, 1, 2, 3, 4]
+    for rank, doc in enumerate(order_aa, start=1):
+        assert out[doc].lang_rank == rank, doc
+        assert out[doc].n_lang == 6
+    assert [out[d].tier for d in order_aa] == \
+        ["head", "head", "middle", "middle", "tail", "tail"]
+
+    # lang bb: -50, then the -150 tie broken by doc_id (11 before 12)
+    order_bb = [10, 11, 12, 13]
+    for rank, doc in enumerate(order_bb, start=1):
+        assert out[doc].lang_rank == rank, doc
+    # n=4, tiers at floor(3*(r-1)/4): ranks 1-2 head, 3 middle, 4 tail
+    assert [out[d].tier for d in order_bb] == \
+        ["head", "head", "middle", "tail"]
+
+    # repartitioning the input must not change a single row
+    again = {r.doc_id: r for r in
+             perplexity_tiers(scored.repartition(7, F.col("doc_id")),
+                              langs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+        {k: tuple(v) for k, v in again.items()}
