@@ -131,7 +131,9 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 4: real MJPEG-in-MP4 container decode + positional
              # ExactSubstr spans
              "mp4_frame_features", "cross_doc_spans",
-             "strip_cross_doc_spans"]
+             "strip_cross_doc_spans",
+             # round 4b: semantic dedup + per-language perplexity tiers
+             "semantic_dedup", "perplexity_tiers"]
     qmap = entry.queries()
     out = {}
     for name in names:

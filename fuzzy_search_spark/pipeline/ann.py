@@ -322,14 +322,21 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
     if centroids is None:
         centroids = ivf_train(df, n_clusters, iters, id_col, vec_col)
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
-    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
-    va = F.col("va").cast("array<double>")
-    vb = F.col("vb").cast("array<double>")
+    vec = F.col(vec_col).cast("array<double>")
+    # Pre-norm once per VECTOR, not per pair: Spark evaluates
+    # higher-order array folds interpreted (CodegenFallback), so the
+    # intra-cluster join's per-pair cost must be a single dot — the two
+    # norm folds move to the n-row projection (3x on the pair stage;
+    # cosine = dot/(na*nb) is the same IEEE expression either way since
+    # sqrt(a)*sqrt(b) is how _norm composed before).
+    base = (df.select(F.col(id_col), vec.alias(vec_col),
+                      _norm(vec).alias("_nrm"))
+            .join(assigned, id_col))
     a = base.select(F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"),
-                    F.col(vec_col).alias("va"))
+                    F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"),
-                    F.col(vec_col).alias("vb"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+                    F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     witnesses = (
         a.join(b, (F.col("cid_a") == F.col("cid_b"))
                & (F.col("id_a") > F.col("id_b")))
