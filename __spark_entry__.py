@@ -1282,6 +1282,43 @@ def q_ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_clusters=16, n_probes=6, iters=2)
 
 
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Shared PQ codebooks for the two PQ queries: trained on the
+    deterministic 40% md5-bucket sample (codebooks train on a sample at
+    scale — the full pass is the encode, not the train)."""
+    from fuzzy_search_spark.pipeline.ann import pq_train
+    from fuzzy_search_spark.pipeline.mixing import _bucket
+
+    emb = _embeddings(spark, sf_dir)
+    train = emb.filter(_bucket("vec_id", "pq-v1") < 400_000)
+    return emb, pq_train(train, m=8, k=16, iters=2, dim=64)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: every embedding as 8 codebook
+    indices (the 32x-compressed IVF-PQ storage row).  Integer-only
+    output — exactly hash-comparable; the oracle retrains the codebooks
+    driver-side (pq_train_local is bit-identical) and re-derives the
+    nearest-codeword argmin in SQL."""
+    from fuzzy_search_spark.pipeline.ann import pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    return pq_encode(emb, books).orderBy("vec_id")
+
+
+def q_ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10: asymmetric PQ distance (per-subspace lookup-table
+    sums) from the vec-0 query to every other vector — the
+    memory-bound ANN scan shape (the scan touches only the code
+    column)."""
+    from fuzzy_search_spark.pipeline.ann import pq_topk
+
+    emb, books = _pq_books(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return pq_topk(emb.filter(F.col("vec_id") != 0),
+                   [float(x) for x in query], books, k=10)
+
+
 def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import pairwise_topk
 
@@ -1419,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (A) never driver-checked before r4 ---------------------------
         "semantic_dedup": q_semantic_dedup,
         "perplexity_tiers": q_perplexity_tiers,
+        "pq_codes": q_pq_codes,
+        "ann_pq_top10": q_ann_pq_top10,
         "mp4_frame_features": q_mp4_frame_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
@@ -2029,6 +2068,78 @@ def oracle_sql() -> dict[str, str]:
         """.format(cent_values=_cent_values2)
     except Exception:  # embeddings table absent: skip this oracle entry
         semdedup_sql = None
+
+    # PQ family: codebooks retrain driver-side on the same deterministic
+    # 40% md5-bucket sample (pq_train_local is bit-identical to the
+    # distributed trainer), embedded as triple-nested DOUBLE literals;
+    # the nearest-codeword argmin (d2 rounded 9, first-minimum tie rule
+    # via list_position) and the ADC lookup-table sum re-derive in SQL.
+    pq_codes_sql = ann_pq_sql = None
+    try:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from fuzzy_search_spark.pipeline.ann import pq_train_local
+
+        _sfdir3 = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                 "/root/testdata/sf0.01")
+        _emb3 = pq.read_table(f"{_sfdir3}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        _ids3 = _emb3.column("vec_id").to_pylist()
+        _vecs3 = _emb3.column("embedding").to_pylist()
+        _train3 = [(i, v) for i, v in zip(_ids3, _vecs3)
+                   if int(hashlib.md5(f"pq-v1:{i}".encode())
+                          .hexdigest()[:15], 16) % 1_000_000 < 400_000]
+        _books3 = pq_train_local([t[0] for t in _train3],
+                                 [t[1] for t in _train3],
+                                 m=8, k=16, iters=2)
+        _cb_lit = "[" + ", ".join(
+            "[" + ", ".join(
+                "[" + ",".join(repr(float(x)) for x in cw) + "]"
+                for cw in sub_book) + "]"
+            for sub_book in _books3) + "]::DOUBLE[][][]"
+        _pq_code_core = """
+            WITH cb(cbs) AS (SELECT {cb_lit}),
+            body AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), coded AS (
+              SELECT vec_id,
+                     list_transform(range(0, 8), s -> CAST(
+                       list_position(
+                         list_transform(cbs[s+1], cw ->
+                           round(list_sum(list_transform(range(1, 9),
+                             j -> (e[s*8+j] - cw[j]) * (e[s*8+j] - cw[j])
+                           )), 9)),
+                         list_min(
+                           list_transform(cbs[s+1], cw ->
+                             round(list_sum(list_transform(range(1, 9),
+                               j -> (e[s*8+j] - cw[j]) * (e[s*8+j] - cw[j])
+                             )), 9)))
+                       ) - 1 AS INTEGER)) AS codes
+              FROM body, cb
+            )
+        """.format(cb_lit=_cb_lit)
+        pq_codes_sql = _pq_code_core + \
+            " SELECT vec_id, codes FROM coded ORDER BY vec_id"
+        _q3 = next([float(x) for x in v]
+                   for i, v in zip(_ids3, _vecs3) if i == 0)
+        _lut3 = [[round(sum((_q3[s * 8 + j] - cw[j]) ** 2
+                            for j in range(8)), 9)
+                  for cw in _books3[s]] for s in range(8)]
+        _lut_lit = "[" + ", ".join(
+            "[" + ",".join(repr(v) for v in row) + "]"
+            for row in _lut3) + "]::DOUBLE[][]"
+        ann_pq_sql = _pq_code_core + """
+            SELECT vec_id,
+                   round(list_sum(list_transform(range(0, 8),
+                         s -> lut[s+1][codes[s+1]+1])), 9) AS adc_d2
+            FROM coded, (SELECT {lut_lit} AS lut)
+            WHERE vec_id <> 0
+            ORDER BY adc_d2, vec_id LIMIT 10
+        """.format(lut_lit=_lut_lit)
+    except Exception:  # embeddings table absent: skip these oracle entries
+        pq_codes_sql = ann_pq_sql = None
 
     simhash_bits = 60
     simhash_votes = ", ".join(
@@ -3746,6 +3857,9 @@ def oracle_sql() -> dict[str, str]:
     }
     if semdedup_sql:
         d["semantic_dedup"] = semdedup_sql
+    if pq_codes_sql:
+        d["pq_codes"] = pq_codes_sql
+        d["ann_pq_top10"] = ann_pq_sql
     # perplexity_tiers composes the lm_doc_scores and language_id oracles
     # verbatim as CTE subqueries (DuckDB allows a WITH inside a
     # parenthesized CTE body), then ranks on the exact integer micro-unit

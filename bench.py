@@ -132,8 +132,9 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # ExactSubstr spans
              "mp4_frame_features", "cross_doc_spans",
              "strip_cross_doc_spans",
-             # round 4b: semantic dedup + per-language perplexity tiers
-             "semantic_dedup", "perplexity_tiers"]
+             # round 4b: semantic dedup, perplexity tiers, PQ family
+             "semantic_dedup", "perplexity_tiers",
+             "pq_codes", "ann_pq_top10"]
     qmap = entry.queries()
     out = {}
     for name in names:
@@ -325,7 +326,10 @@ def main() -> None:
     # back "parsed": null) — print a slim line: per-sample scaling
     # diagnostics live in BENCH/BASELINE.md and last_local_run.json
     slim = dict(result)
-    slim["queries"] = {k: round(v, 2) for k, v in queries.items()}
+    # 1 decimal on the printed line only (full precision is in
+    # last_local_run.json / BASELINE.md): 60 watch queries at 2 decimals
+    # pushed the line within ~10 chars of the 2000-char capture limit
+    slim["queries"] = {k: round(v, 1) for k, v in queries.items()}
     if scaling:
         slim["scaling"] = {k: v for k, v in scaling.items()
                            if k not in ("walls_small", "walls_big",

@@ -351,6 +351,178 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
     )
 
 
+def pq_train(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64) -> List[List[List[float]]]:
+    """Deterministic product-quantization codebooks: the vector space is
+    split into ``m`` contiguous subspaces of ``dim/m`` dims and each
+    subspace trains its own ``k``-codeword quantizer (Jegou et al. 2011,
+    "Product quantization for nearest neighbor search" — the standard
+    IVF-PQ memory layout: 64-dim float32 -> ``m`` uint8 codes is a 32x
+    compression).
+
+    Returns ``codebooks[m][k][dim/m]``.
+
+    Same determinism contract as :func:`ivf_train` (so
+    :func:`pq_train_local` reproduces it bit-for-bit and the DuckDB
+    oracle can embed the codebooks as literals): seeds are the k rows
+    with smallest md5(str(id)) — one global seed order shared by every
+    subspace — assignment distances round to 9 decimals with ties to
+    the smaller code, per-iteration means round to 6.
+
+    Scale shape: ONE pass per iteration trains all m subspaces together
+    — explode to (id, sub, subvec), broadcast-join the m*k codeword
+    table on ``sub``, min-struct per (id, sub), then one
+    (sub, code, pos) hash aggregation; only m*k*(dim/m) floats reach
+    the driver per iteration."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                  vec.alias("v"))
+        .orderBy("_h").limit(k).collect()
+    )
+    books = [[[float(x) for x in r["v"][s * dsub:(s + 1) * dsub]]
+              for r in seeds] for s in range(m)]
+    spark = df.sparkSession
+    subs = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice(vec, s * dsub + 1, dsub).alias("sv"))
+            for s in range(m)])).alias("_e")
+    ).select(id_col, "_e.sub", "_e.sv")
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(k)],
+            "sub int, code int, cw array<double>")
+        diff = F.zip_with(F.col("sv"), F.col("cw"),
+                          lambda a, b: (a - b) * (a - b))
+        d2 = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v),
+                     9)
+        assigned = (
+            subs.join(F.broadcast(cdf), "sub")
+            .select(id_col, "sub", "sv", F.col("code"), d2.alias("_d2"))
+            .groupBy(id_col, "sub")
+            .agg(F.min(F.struct("_d2", "code")).alias("_best"),
+                 F.first("sv").alias("sv"))
+            .select("sub", F.col("_best.code").alias("code"),
+                    F.posexplode("sv").alias("pos", "x"))
+        )
+        means = (assigned.groupBy("sub", "code", "pos")
+                 .agg(F.avg("x").alias("mu")).collect())
+        new = [[list(cw) for cw in sub_book] for sub_book in books]
+        per: dict = {}
+        for r in means:
+            per.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["mu"]
+        for (s, c), dims in per.items():
+            new[s][c] = [round(dims[p], 6) for p in sorted(dims)]
+        books = new
+    return books
+
+
+def pq_train_local(ids, vectors, m: int = 8, k: int = 16,
+                   iters: int = 2) -> List[List[List[float]]]:
+    """Driver-local numpy mirror of :func:`pq_train` — identical seed
+    order, assignment rounding, tie-break, and mean rounding, so the
+    codebooks are bit-identical on the same rows (the oracle-literal
+    path, NOT the production trainer)."""
+    import hashlib
+
+    dim = len(vectors[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    order = sorted(range(len(ids)),
+                   key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    vec = np.asarray(vectors, dtype=float)
+    books = [[[float(x) for x in vec[i, s * dsub:(s + 1) * dsub]]
+              for i in order[:k]] for s in range(m)]
+    for _ in range(iters):
+        new = [[list(cw) for cw in sub_book] for sub_book in books]
+        for s in range(m):
+            sv = vec[:, s * dsub:(s + 1) * dsub]
+            c = np.asarray(books[s])
+            d2 = ((sv[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).round(9)
+            assign = d2.argmin(axis=1)          # ties -> smaller code
+            for code in range(k):
+                mask = assign == code
+                if mask.any():
+                    new[s][code] = [round(float(x), 6)
+                                    for x in sv[mask].mean(axis=0)]
+        books = new
+    return books
+
+
+def _pq_code_expr(vec, books, dsub: int):
+    """codes[m] column: per subspace, the index of the nearest codeword
+    (d2 rounded to 9; array_position returns the FIRST minimum, i.e.
+    ties go to the smaller code — the trainer's exact rule)."""
+    m = len(books)
+    cbs = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cw])
+                  for cw in sub_book])
+        for sub_book in books])
+    def one_sub(s):
+        def d2_of(cw):
+            diff = F.zip_with(F.slice(vec, s * dsub + 1, dsub), cw,
+                              lambda a, b: (a - b) * (a - b))
+            return F.round(
+                F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 9)
+        d2s = F.transform(F.element_at(cbs, s + 1), d2_of)
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    return F.array(*[one_sub(s) for s in range(m)])
+
+
+def pq_encode(df: DataFrame, books: List[List[List[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): each vector as ``m`` codebook indices —
+    the 32x-compressed representation an IVF-PQ index stores.  Pure
+    projection (codebooks are expression literals): fuses into the
+    scan, zero shuffle, and the integer codes are exactly
+    hash-comparable cross-engine (no float output at all)."""
+    dsub = len(books[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col),
+                     _pq_code_expr(vec, books, dsub).alias("codes"))
+
+
+def pq_topk(df: DataFrame, query: Sequence[float],
+            books: List[List[List[float]]], k: int = 10,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: the query builds an
+    m x k lookup table of subspace squared distances driver-side, and
+    every row's approximate distance is ``sum_s lut[s][codes[s]]`` — a
+    table lookup per subspace, never a float dot against the raw
+    vector.  This is THE memory-bound ANN scan shape at 10^12 rows:
+    the scan touches only the m-byte code column, the raw embedding
+    column is pruned away entirely (encode once via :func:`pq_encode`
+    and store codes as a column to make that literal).
+
+    Determinism: lut entries round to 9 (same rule as every distance in
+    the IVF/PQ family), the m-term sum folds left-to-right, the final
+    distance rounds to 9, ties rank by id."""
+    m, dsub = len(books), len(books[0][0])
+    q = [float(x) for x in query]
+    lut = [[round(sum((q[s * dsub + j] - cw[j]) ** 2
+                      for j in range(dsub)), 9)
+            for cw in books[s]] for s in range(m)]
+    vec = F.col(vec_col).cast("array<double>")
+    codes = _pq_code_expr(vec, books, dsub)
+    luts = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(luts, codes,
+                       lambda row, c: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, v: acc + v), 9)
+    return (df.select(F.col(id_col), dist.alias("adc_d2"))
+            .orderBy("adc_d2", id_col).limit(k))
+
+
 def quantize_embeddings_int8(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              engine: str = "jvm") -> DataFrame:

@@ -640,3 +640,71 @@ def test_semantic_dedup_plan_shape(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan     # the k-row centroid join
+
+
+def test_pq_trainer_local_matches_distributed(spark):
+    """pq_train and pq_train_local produce bit-identical codebooks on
+    the same rows (the contract the oracle literals depend on)."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import pq_train, pq_train_local
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((120, 16)).round(4))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert pq_train(df, m=4, k=8, iters=2, dim=16) == \
+        pq_train_local([r[0] for r in rows], [r[1] for r in rows],
+                       m=4, k=8, iters=2)
+
+
+def test_pq_encode_and_adc_against_python(spark):
+    """Codes match a pure-python argmin mirror; ADC top-k ranks the
+    query's own row first and agrees with the python lut sums."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import (pq_encode, pq_topk,
+                                                 pq_train_local)
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((90, 16)).round(4))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_local([r[0] for r in rows], [r[1] for r in rows],
+                           m=4, k=8, iters=2)
+    got = {r.vec_id: r.codes for r in pq_encode(df, books).collect()}
+
+    def py_codes(v):
+        out = []
+        for s in range(4):
+            sv = np.array(v[s * 4:(s + 1) * 4])
+            d2 = [round(float(((sv - np.array(cw)) ** 2).sum()), 9)
+                  for cw in books[s]]
+            out.append(d2.index(min(d2)))
+        return out
+
+    for i, v in rows:
+        assert got[i] == py_codes(v), i
+
+    q = rows[11][1]
+    top = pq_topk(df, q, books, k=5).collect()
+    assert top[0].vec_id == 11           # own row has the smallest ADC
+    lut = [[round(sum((q[s * 4 + j] - cw[j]) ** 2 for j in range(4)), 9)
+            for cw in books[s]] for s in range(4)]
+    for r in top:
+        exp = round(sum(lut[s][got[r.vec_id][s]] for s in range(4)), 9)
+        assert r.adc_d2 == exp, r.vec_id
+
+
+def test_pq_encode_plan_is_pure_projection(spark):
+    """Codebooks are expression literals: encode must fuse into the scan
+    — no Exchange, no Python stage."""
+    from fuzzy_search_spark.pipeline.ann import pq_encode, pq_train_local
+
+    rows = [(i, [float(i % 7), float(i % 3)] * 4) for i in range(40)]
+    books = pq_train_local([r[0] for r in rows], [r[1] for r in rows],
+                           m=4, k=4, iters=1)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = (pq_encode(df, books)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
