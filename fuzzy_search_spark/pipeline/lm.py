@@ -224,6 +224,62 @@ def perplexity_tiers(scored: DataFrame, langs: DataFrame, n_tiers: int = 3,
                          "n_lang", "tier_idx", "tier")
 
 
+def perplexity_tiers_by_cutoffs(scored: DataFrame, langs: DataFrame,
+                                n_tiers: int = 3, id_col: str = "doc_id",
+                                lang_col: str = "lang_guess",
+                                accuracy: int = 1_000_000,
+                                tier_names=("head", "middle", "tail")
+                                ) -> DataFrame:
+    """The skew-safe 100-TB variant of :func:`perplexity_tiers`: instead
+    of a per-language rank window (one task per language — fatal when
+    one language is half a web corpus), compute per-language score
+    CUTOFFS with one parallel aggregation (``percentile_approx`` over
+    the integer micro scores), broadcast the tiny (n_langs x n_tiers-1)
+    cutoff table, and bucket each document by comparison.  This is what
+    CCNet itself does (cutoffs from a sample).  The cutoff contract is
+    weaker than the rank contract: assignment is monotone in score
+    within a language and tier sizes are near-equal (off by sketch
+    rank-rounding and by ties sitting exactly on a cutoff, which all
+    land in the better tier) — :func:`perplexity_tiers` is the exact
+    anchor the validation test measures that boundary drift against.
+
+    Returns ``(id, lang, avg_logp_micro, tier_idx, tier)`` — no ranks:
+    ranks are exactly what the cutoff formulation avoids computing."""
+    avg_micro = F.when(
+        F.col("n_scored") > 0,
+        F.round(F.col("sum_logp_micro") / F.col("n_scored")).cast("long")
+    ).otherwise(F.lit(0)).alias("avg_logp_micro")
+    slim = (scored.select(F.col(id_col), avg_micro)
+            .join(langs.select(F.col(id_col), F.col(lang_col).alias("lang")),
+                  id_col))
+    # tier k's lower bound is the (1 - (k+1)/n_tiers) quantile of the
+    # scores (higher score = better tier); with integer micro scores the
+    # sketch returns an exact member value at this accuracy until a
+    # language exceeds ~accuracy documents
+    probs = [1.0 - (k + 1) / n_tiers for k in range(n_tiers - 1)]
+    cuts = slim.groupBy("lang").agg(
+        F.percentile_approx("avg_logp_micro", probs, accuracy)
+        .alias("_cuts"))
+    tier_idx = F.lit(n_tiers - 1)
+    for k in range(n_tiers - 2, -1, -1):
+        tier_idx = F.when(
+            F.col("avg_logp_micro") >= F.element_at("_cuts", k + 1),
+            F.lit(k)).otherwise(tier_idx)
+    out = (slim.join(F.broadcast(cuts), "lang")
+           .withColumn("tier_idx", tier_idx.cast("int")))
+    if len(tier_names) == n_tiers:
+        tier = None
+        for i, name in enumerate(tier_names):
+            case = F.when(F.col("tier_idx") == i, F.lit(name))
+            tier = case if tier is None else tier.when(
+                F.col("tier_idx") == i, F.lit(name))
+        out = out.withColumn("tier", tier)
+    else:
+        out = out.withColumn(
+            "tier", F.concat(F.lit("tier_"), F.col("tier_idx")))
+    return out.select(id_col, "lang", "avg_logp_micro", "tier_idx", "tier")
+
+
 def _padded2_arrays(text_col: str):
     """Double-<s>-padded token array (trigram padding)."""
     return F.concat(F.array(F.lit(BOS), F.lit(BOS)), _tokens(text_col))

@@ -1021,3 +1021,61 @@ def test_perplexity_tiers_crafted(spark):
                               langs).collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
         {k: tuple(v) for k, v in again.items()}
+
+
+def test_perplexity_tiers_by_cutoffs_agrees_with_rank_anchor(spark):
+    """The skew-safe cutoff variant: monotone in score within language,
+    near-equal tier sizes, and per-doc agreement with the exact rank
+    anchor everywhere except within one boundary position per cutoff."""
+    import random
+
+    from fuzzy_search_spark.pipeline.lm import (perplexity_tiers,
+                                                perplexity_tiers_by_cutoffs)
+
+    rng = random.Random(3)
+    rows, lang_rows = [], []
+    for lang, n in (("aa", 90), ("bb", 31)):
+        base = 0 if lang == "aa" else 10_000
+        for i in range(n):
+            doc = base + i
+            rows.append((doc, 2, -rng.randrange(1, 10**6) * 2))
+            lang_rows.append((doc, lang))
+    scored = spark.createDataFrame(
+        rows, "doc_id long, n_scored long, sum_logp_micro long")
+    langs = spark.createDataFrame(lang_rows, "doc_id long, lang_guess string")
+
+    exact = {r.doc_id: r for r in perplexity_tiers(scored, langs).collect()}
+    cut = {r.doc_id: r
+           for r in perplexity_tiers_by_cutoffs(scored, langs).collect()}
+    assert set(cut) == set(exact)
+
+    # monotone: a better score never lands in a worse tier (per lang)
+    by_lang = {}
+    for d, r in cut.items():
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r.avg_logp_micro, r.doc_id))
+        assert all(a.tier_idx <= b.tier_idx for a, b in zip(rs, rs[1:])), lang
+        # near-equal sizes: each tier within 2 of n/3
+        n = len(rs)
+        for t in range(3):
+            size = sum(1 for r in rs if r.tier_idx == t)
+            assert abs(size - n / 3) <= 2, (lang, t, size)
+
+    # agreement with the exact anchor except at tier boundaries: a doc
+    # may shift by at most one tier, and only within one rank position
+    # of a boundary
+    for d in exact:
+        e, c = exact[d], cut[d]
+        if e.tier_idx != c.tier_idx:
+            assert abs(e.tier_idx - c.tier_idx) == 1, d
+            boundary_ranks = {e.n_lang // 3, 2 * e.n_lang // 3}
+            assert min(abs(e.lang_rank - 1 - b) for b in boundary_ranks) \
+                <= 1, (d, e.lang_rank)
+
+    # plan shape: no window function anywhere — one hash agg + a
+    # broadcast join is the whole point
+    plan = (perplexity_tiers_by_cutoffs(scored, langs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
