@@ -214,6 +214,15 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1): word-level features,
+    per-rule booleans, composite keep.  Pure projection; regexes in the
+    Java/RE2 common subset so DuckDB runs the same patterns."""
+    from fuzzy_search_spark.pipeline.textstats import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.textstats import fingerprints
 
@@ -1458,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_tiers": q_perplexity_tiers,
         "pq_codes": q_pq_codes,
         "ann_pq_top10": q_ann_pq_top10,
+        "gopher_quality": q_gopher_quality,
         "mp4_frame_features": q_mp4_frame_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
@@ -2313,6 +2323,74 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"votes_{l}" for l in _STOPWORD_SQL)},
                    {lang_case} AS lang_guess
             FROM v ORDER BY doc_id
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> length(x) > 0) AS ws,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 ln -> length(trim(ln)) > 0) AS lns
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     round(coalesce(
+                             list_sum(list_transform(ws, x -> length(x))),
+                             0)
+                           / greatest(len(ws), 1), 6) AS mean_word_len,
+                     round(len(list_filter(ws, x ->
+                             contains(x, '#') OR contains(x, '...')
+                             OR contains(x, chr(8230))))
+                           / greatest(len(ws), 1), 6) AS symbol_ratio,
+                     round(len(list_filter(lns, ln ->
+                             regexp_matches(trim(ln),
+                               '^[' || chr(8226) || '\-\*]')))
+                           / greatest(len(lns), 1), 6) AS bullet_ratio,
+                     round(len(list_filter(lns, ln ->
+                             regexp_matches(trim(ln),
+                               '(\.\.\.|' || chr(8230) || ')$')))
+                           / greatest(len(lns), 1), 6) AS ellipsis_ratio,
+                     round(len(list_filter(ws, x ->
+                             regexp_matches(x, '[A-Za-z]')))
+                           / greatest(len(ws), 1), 6) AS alpha_ratio,
+                     CAST(
+                       (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'the') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'be') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'to') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'of') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'and') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'that') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'have') THEN 1 ELSE 0 END)
+                     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+                                                'with') THEN 1 ELSE 0 END)
+                       AS INTEGER) AS n_stopwords
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   bullet_ratio, ellipsis_ratio, alpha_ratio, n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                     AS rule_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                     AS rule_mean_word_len,
+                   (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+                   (bullet_ratio <= 0.9) AS rule_bullet_lines,
+                   (ellipsis_ratio <= 0.3) AS rule_ellipsis_lines,
+                   (alpha_ratio >= 0.8) AS rule_alpha_words,
+                   (n_stopwords >= 2) AS rule_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+                    AND n_stopwords >= 2) AS keep
+            FROM feat ORDER BY doc_id
         """,
         "fingerprints": r"""
             WITH n AS (

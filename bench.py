@@ -132,9 +132,10 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # ExactSubstr spans
              "mp4_frame_features", "cross_doc_spans",
              "strip_cross_doc_spans",
-             # round 4b: semantic dedup, perplexity tiers, PQ family
+             # round 4b: semantic dedup, perplexity tiers, PQ family,
+             # Gopher word-level quality rules
              "semantic_dedup", "perplexity_tiers",
-             "pq_codes", "ann_pq_top10"]
+             "pq_codes", "ann_pq_top10", "gopher_quality"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -73,6 +73,89 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), *cols, keep.alias("keep"))
 
 
+#: Gopher rule stopwords (Rae et al. 2021, appendix A1.1: "the, be, to,
+#: of, and, that, have, with" — a doc must contain at least 2).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_ratio: float = 0.9,
+                   max_ellipsis_ratio: float = 0.3,
+                   min_alpha_ratio: float = 0.8,
+                   min_stopwords: int = 2) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021 "Scaling Language
+    Models: ... Gopher", appendix A1.1) — the canonical word-level
+    filter every LLM data pipeline applies after the char-level one
+    (:func:`quality_scores` is the char-level companion):
+
+    word count in [50, 100k]; mean word length in [3, 10]; hash/ellipsis
+    symbol-to-word ratio <= 0.1; <= 90% of lines starting with a bullet;
+    <= 30% of lines ending with an ellipsis; >= 80% of words containing
+    an alphabetic character; >= 2 of the 8 listed stopwords present.
+
+    Emits one row per document with the seven measured features, the
+    per-rule booleans, and the composite ``keep``.  Pure column algebra
+    over one text column — a shuffle-free projection that fuses into
+    the scan; regexes stay in the Java/RE2 common subset so the DuckDB
+    oracle runs the same patterns."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    lines = F.filter(F.split(t, r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    nl = F.greatest(n_lines, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)) / nw, 6)
+    symbol_ratio = F.round(F.size(F.filter(
+        words, lambda w: w.contains("#") | w.contains("...")
+        | w.contains("…"))) / nw, 6)
+    bullet_ratio = F.round(F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike("^[\\u2022\\-\\*]"))) / nl, 6)
+    ellipsis_ratio = F.round(F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike("(\\.\\.\\.|\\u2026)$"))) / nl,
+        6)
+    alpha_ratio = F.round(F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))) / nw, 6)
+    lower_words = F.transform(words, F.lower)
+    n_stop = sum(
+        (F.array_contains(lower_words, s).cast("int")
+         for s in GOPHER_STOPWORDS),
+        F.lit(0))
+    rules = {
+        "rule_word_count": (n_words >= min_words)
+        & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullet_lines": bullet_ratio <= max_bullet_ratio,
+        "rule_ellipsis_lines": ellipsis_ratio <= max_ellipsis_ratio,
+        "rule_alpha_words": alpha_ratio >= min_alpha_ratio,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    keep = None
+    for cond in rules.values():
+        keep = cond if keep is None else keep & cond
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        *[cond.alias(name) for name, cond in rules.items()],
+        keep.alias("keep"))
+
+
 def language_exprs(text_col: str = "text"):
     """(vote columns, lang_guess expression) for the stopword-vote
     language heuristic, as raw expressions (see :func:`quality_exprs`)."""

@@ -1079,3 +1079,51 @@ def test_perplexity_tiers_by_cutoffs_agrees_with_rank_anchor(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_quality_rules_crafted(spark):
+    """The seven Gopher rules against a hand-built python mirror."""
+    import re
+
+    from fuzzy_search_spark.pipeline.textstats import (GOPHER_STOPWORDS,
+                                                       gopher_quality)
+
+    docs = [
+        (1, "the cat and the dog have a house to be with that thing " * 10),
+        (2, "• item one\n• item two\n- dash\n* star"),
+        (3, "### ### hash symbols ### everywhere"),
+        (4, ""),
+        (5, "and the end to be of that have with...\n" + "word " * 60),
+        (6, "trailing dots...\nmore dots…\nclean line\nanother"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+
+    for doc_id, text in docs:
+        ws = [w for w in re.split(r"\s+", text) if w]
+        lns = [ln for ln in text.split("\n") if ln.strip()]
+        nw, nl = max(len(ws), 1), max(len(lns), 1)
+        r = out[doc_id]
+        assert r.n_words == len(ws)
+        assert r.mean_word_len == round(sum(map(len, ws)) / nw, 6)
+        assert r.symbol_ratio == round(
+            sum("#" in w or "..." in w or "…" in w for w in ws) / nw, 6)
+        assert r.bullet_ratio == round(
+            sum(bool(re.match(r"^[•\-\*]", ln.strip()))
+                for ln in lns) / nl, 6)
+        assert r.ellipsis_ratio == round(
+            sum(bool(re.search(r"(\.\.\.|…)$", ln.strip()))
+                for ln in lns) / nl, 6)
+        assert r.alpha_ratio == round(
+            sum(bool(re.search("[A-Za-z]", w)) for w in ws) / nw, 6)
+        assert r.n_stopwords == sum(
+            s in [w.lower() for w in ws] for s in GOPHER_STOPWORDS)
+        assert r.keep == (r.rule_word_count and r.rule_mean_word_len
+                          and r.rule_symbol_ratio and r.rule_bullet_lines
+                          and r.rule_ellipsis_lines and r.rule_alpha_words
+                          and r.rule_stopwords)
+    assert out[1].keep and not out[2].keep and not out[4].keep
+
+    plan = (gopher_quality(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
