@@ -223,6 +223,15 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 section 2.2):
+    line-level terminal-punctuation / 5-word / javascript gates + the
+    page-level sentence-count, lorem-ipsum and curly-brace drops."""
+    from fuzzy_search_spark.pipeline.textstats import c4_filters
+
+    return c4_filters(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.textstats import fingerprints
 
@@ -1468,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "ann_pq_top10": q_ann_pq_top10,
         "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
         "mp4_frame_features": q_mp4_frame_features,
         "video_frame_features": q_video_frame_features,
         "gif_frame_features": q_gif_frame_features,
@@ -2391,6 +2401,48 @@ def oracle_sql() -> dict[str, str]:
                     AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
                     AND n_stopwords >= 2) AS keep
             FROM feat ORDER BY doc_id
+        """,
+        "c4_filters": r"""
+            WITH l AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\n'),
+                                 ln -> length(trim(ln)) > 0) AS lns
+              FROM documents
+            ), k AS (
+              SELECT doc_id, text, lns,
+                     list_filter(lns, ln ->
+                       regexp_matches(trim(ln), '[.!?"'']$')
+                       AND len(list_filter(
+                             regexp_split_to_array(trim(ln), '\s+'),
+                             w -> length(w) > 0)) >= 5
+                       AND NOT contains(lower(trim(ln)), 'javascript'))
+                       AS kept
+              FROM l
+            ), c AS (
+              SELECT doc_id, text, lns, kept,
+                     coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text
+              FROM k
+            )
+            SELECT doc_id,
+                   len(lns) AS n_lines,
+                   len(kept) AS n_lines_kept,
+                   clean_text,
+                   CAST(CASE WHEN length(clean_text) = 0 THEN 0
+                        ELSE len(list_filter(
+                               regexp_split_to_array(clean_text, '[.!?]'),
+                               s -> length(trim(s)) > 0)) END
+                        AS INTEGER) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum')
+                     AS has_lorem_ipsum,
+                   contains(text, '{') AS has_curly_brace,
+                   ((CASE WHEN length(clean_text) = 0 THEN 0
+                     ELSE len(list_filter(
+                            regexp_split_to_array(clean_text, '[.!?]'),
+                            s -> length(trim(s)) > 0)) END) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep
+            FROM c ORDER BY doc_id
         """,
         "fingerprints": r"""
             WITH n AS (

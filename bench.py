@@ -135,7 +135,7 @@ def bench_sf_queries(spark, sf_dir: str) -> dict:
              # round 4b: semantic dedup, perplexity tiers, PQ family,
              # Gopher word-level quality rules
              "semantic_dedup", "perplexity_tiers",
-             "pq_codes", "ann_pq_top10", "gopher_quality"]
+             "pq_codes", "ann_pq_top10", "gopher_quality", "c4_filters"]
     qmap = entry.queries()
     out = {}
     for name in names:

@@ -156,6 +156,59 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
         keep.alias("keep"))
 
 
+def c4_filters(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               min_words_per_line: int = 5,
+               min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 "Exploring the
+    Limits of Transfer Learning...", section 2.2): retain only lines
+    that end in a terminal punctuation mark, contain at least 5 words,
+    and do not contain the word "javascript"; then drop any page with
+    fewer than 3 sentences, any page containing "lorem ipsum", and any
+    page containing a curly brace.
+
+    Emits ``(id, n_lines, n_lines_kept, clean_text, n_sentences,
+    has_lorem_ipsum, has_curly_brace, keep)``: the line-filtered rebuild
+    plus the page-level flags — callers filter on ``keep`` and swap
+    ``clean_text`` in.  Sentence count is the terminal-punctuation split
+    count of the KEPT text (the published heuristic counts sentences
+    after line filtering).
+
+    Pure shuffle-free column algebra over one text column; every regex
+    is in the Java/RE2 common subset, so the DuckDB oracle runs the
+    identical patterns."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+
+    def _kept(ln):
+        trimmed = F.trim(ln)
+        words = F.filter(F.split(trimmed, r"\s+"),
+                         lambda w: F.length(w) > 0)
+        return (trimmed.rlike("[.!?\"']$")
+                & (F.size(words) >= min_words_per_line)
+                & ~F.lower(trimmed).contains("javascript"))
+
+    kept = F.filter(lines, _kept)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.when(
+        F.length(clean) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(F.split(clean, "[.!?]"),
+                        lambda s: F.length(F.trim(s)) > 0)))
+    lorem = F.lower(t).contains("lorem ipsum")
+    curly = t.contains("{")
+    keep = (n_sentences >= min_sentences) & ~lorem & ~curly
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        clean.alias("clean_text"),
+        n_sentences.cast("int").alias("n_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        curly.alias("has_curly_brace"),
+        keep.alias("keep"))
+
+
 def language_exprs(text_col: str = "text"):
     """(vote columns, lang_guess expression) for the stopword-vote
     language heuristic, as raw expressions (see :func:`quality_exprs`)."""

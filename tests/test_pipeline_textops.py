@@ -1127,3 +1127,61 @@ def test_gopher_quality_rules_crafted(spark):
     plan = (gopher_quality(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_c4_filters_crafted(spark):
+    """The C4 line and page heuristics against a hand-built mirror."""
+    import re
+
+    from fuzzy_search_spark.pipeline.textstats import c4_filters
+
+    docs = [
+        (1, "This is a good first sentence here.\n"
+            "Another proper sentence with enough words!\n"
+            "And a third full sentence to pass the gate."),
+        (2, "short line.\nno terminal punctuation here at all\n"
+            "click here"),                      # everything filtered
+        (3, "Uses javascript for the menu bar today.\n"
+            "This line is long enough and it stays fine.\n"
+            "Second keeper sentence right here folks.\n"
+            "Third keeper sentence right here folks."),
+        (4, "Lorem ipsum dolor sit amet something here.\n"
+            "A fine sentence that would otherwise stay here.\n"
+            "Another fine sentence that would stay here.\n"
+            "Third fine sentence that would stay here."),
+        (5, "function() { return 1; } is code.\n"
+            "A fine sentence that would otherwise stay here.\n"
+            "Another fine sentence that would stay here.\n"
+            "Third fine sentence that would stay here."),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_filters(df).collect()}
+
+    def mirror(text):
+        lns = [ln for ln in text.split("\n") if ln.strip()]
+        kept = [ln for ln in lns
+                if re.search("[.!?\"']$", ln.strip())
+                and len([w for w in re.split(r"\s+", ln.strip()) if w]) >= 5
+                and "javascript" not in ln.strip().lower()]
+        clean = "\n".join(kept)
+        n_sent = 0 if not clean else len(
+            [s for s in re.split("[.!?]", clean) if s.strip()])
+        lorem = "lorem ipsum" in text.lower()
+        curly = "{" in text
+        return (len(lns), len(kept), clean, n_sent, lorem, curly,
+                n_sent >= 3 and not lorem and not curly)
+
+    for doc_id, text in docs:
+        r = out[doc_id]
+        assert (r.n_lines, r.n_lines_kept, r.clean_text, r.n_sentences,
+                r.has_lorem_ipsum, r.has_curly_brace, r.keep) \
+            == mirror(text), doc_id
+    assert out[1].keep                       # clean page survives
+    assert out[2].n_lines_kept == 0          # all lines filtered
+    assert "javascript" not in out[3].clean_text
+    assert not out[4].keep and not out[5].keep
+
+    plan = (c4_filters(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
