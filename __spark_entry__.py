@@ -1317,11 +1317,16 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices (the 32x-compressed IVF-PQ storage row).  Integer-only
     output — exactly hash-comparable; the oracle retrains the codebooks
     driver-side (pq_train_local is bit-identical) and re-derives the
-    nearest-codeword argmin in SQL."""
+    nearest-codeword argmin in SQL.  Codes are emitted as a joined
+    string (the quantize_embeddings pattern): the driver canonicalizer
+    pandas-sorts every column and cannot hash an array<int> cell."""
     from fuzzy_search_spark.pipeline.ann import pq_encode
 
     emb, books = _pq_books(spark, sf_dir)
-    return pq_encode(emb, books).orderBy("vec_id")
+    return pq_encode(emb, books).orderBy("vec_id").select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>"))
+        .alias("codes_joined"))
 
 
 def q_ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,67 +1469,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered for driver CORRECTNESS coverage: the r3 gate recorded
-    only the first 50 dict entries, so queries the driver has never (or
-    least recently) verified come first — (A) the 13 never-checked, (B)
-    the 3 whose oracles had wide-type hash bugs fixed in r4, (C) the 19
-    last checked in r2, (D) the r3-green remainder, cheap before heavy
-    so a time-truncated sweep still maximizes coverage."""
+    """Ordered for driver CORRECTNESS coverage: the gate records only
+    the first 50 dict entries, so queries the driver has never (or
+    least recently) verified come first — (A) the 2 never-checked
+    ExactSubstr ops, (B) the 39 queries last checked in r3 (r4's gate
+    covered positions 1-50 of the r4 ordering; these sat at 51-91),
+    (C) queries changed or first-touched this round (pq_codes output
+    reshaped, PQ/semantic-dedup kernels revised), (D) r4-green fillers,
+    weblinks-drift watchlist first, then the r4-green remainder.
+    Rotation invariant: CORRECTNESS_r5 ∪ r4 must cover all oracled
+    queries."""
     return {
-        # -- (A) never driver-checked before r4 ---------------------------
-        "semantic_dedup": q_semantic_dedup,
-        "perplexity_tiers": q_perplexity_tiers,
-        "pq_codes": q_pq_codes,
-        "ann_pq_top10": q_ann_pq_top10,
-        "gopher_quality": q_gopher_quality,
-        "c4_filters": q_c4_filters,
-        "mp4_frame_features": q_mp4_frame_features,
-        "video_frame_features": q_video_frame_features,
-        "gif_frame_features": q_gif_frame_features,
-        "jpeg_features": q_jpeg_features,
-        "avi_frame_features": q_avi_frame_features,
-        "video_metadata": q_video_metadata,
-        "audio_features": q_audio_features,
-        "corpus_profile": q_corpus_profile,
-        "crawl_delta": q_crawl_delta,
-        "assign_splits": q_assign_splits,
-        "sitemap_entries": q_sitemap_entries,
-        "tfidf_topk": q_tfidf_topk,
-        "quantize_embeddings": q_quantize_embeddings,
-        "ann_ivf_top10": q_ann_ivf_top10,
-        # -- (B) r3 hash-red, oracle CASTs fixed in r4 --------------------
-        "mixture_plan": q_mixture_plan,
-        "packing_plan": q_packing_plan,
-        "anchor_text_index": q_anchor_text_index,
-        # -- (C) last driver-checked in r2 --------------------------------
-        "ngram_top50": q_ngram_top50,
-        "llr_keywords": q_llr_keywords,
-        "ngram_probabilities": q_ngram_probabilities,
-        "skipgram_similarity": q_skipgram_similarity,
-        "close_term_pairs": q_close_term_pairs,
-        "close_pairs_begin_end": q_close_pairs_begin_end,
-        "word_cooccurrence": q_word_cooccurrence,
-        "spelling_changes": q_spelling_changes,
-        "bpe_merges": q_bpe_merges,
-        "vocabulary": q_vocabulary,
-        "spelling_links": q_spelling_links,
-        "regex_entities": q_regex_entities,
-        "patterns_in_context": q_patterns_in_context,
-        "ann_cosine_top10": q_ann_cosine_top10,
-        "ann_lsh_top10": q_ann_lsh_top10,
-        "ann_centroid_top5": q_ann_centroid_top5,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_running_value": q_events_running_value,
-        # -- (D) r3-green, ascending cost ---------------------------------
-        "url_dedup": q_url_dedup,
-        "host_page_cap": q_host_page_cap,
-        "corpus_sample": q_corpus_sample,
-        "fix_mojibake": q_fix_mojibake,
-        "link_graph": q_link_graph,
-        "subword_token_stats": q_subword_token_stats,
-        "extract_links": q_extract_links,
-        "crawl_directives": q_crawl_directives,
+        # -- (A) never driver-checked (r4 verdict item 2) ------------------
+        "cross_doc_spans": q_cross_doc_spans,
+        "strip_cross_doc_spans": q_strip_cross_doc_spans,
+        # -- (B) last driver-checked in r3, ascending cost -----------------
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "normalize_nfc": q_normalize_nfc,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1551,8 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
-        "cross_doc_spans": q_cross_doc_spans,
-        "strip_cross_doc_spans": q_strip_cross_doc_spans,
         "embedding_near_dup": q_embedding_near_dup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "media_metadata": q_media_metadata,
@@ -1566,6 +1523,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_representatives": q_best_representatives,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_best": q_corpus_clean_best,
+        # -- (C) changed this round (need a fresh driver row) --------------
+        "pq_codes": q_pq_codes,
+        "ann_pq_top10": q_ann_pq_top10,
+        "semantic_dedup": q_semantic_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        # -- (D) r4-green fillers: weblinks drift watchlist first ----------
+        "extract_links": q_extract_links,
+        "link_graph": q_link_graph,
+        "anchor_text_index": q_anchor_text_index,
+        "url_dedup": q_url_dedup,
+        "host_page_cap": q_host_page_cap,
+        # ------------------------ driver window ends at 50 ----------------
+        "corpus_sample": q_corpus_sample,
+        "fix_mojibake": q_fix_mojibake,
+        "subword_token_stats": q_subword_token_stats,
+        "crawl_directives": q_crawl_directives,
+        "perplexity_tiers": q_perplexity_tiers,
+        "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
+        "mp4_frame_features": q_mp4_frame_features,
+        "video_frame_features": q_video_frame_features,
+        "gif_frame_features": q_gif_frame_features,
+        "jpeg_features": q_jpeg_features,
+        "avi_frame_features": q_avi_frame_features,
+        "video_metadata": q_video_metadata,
+        "audio_features": q_audio_features,
+        "corpus_profile": q_corpus_profile,
+        "crawl_delta": q_crawl_delta,
+        "assign_splits": q_assign_splits,
+        "sitemap_entries": q_sitemap_entries,
+        "tfidf_topk": q_tfidf_topk,
+        "ann_ivf_top10": q_ann_ivf_top10,
+        "mixture_plan": q_mixture_plan,
+        "packing_plan": q_packing_plan,
+        "ngram_top50": q_ngram_top50,
+        "llr_keywords": q_llr_keywords,
+        "ngram_probabilities": q_ngram_probabilities,
+        "skipgram_similarity": q_skipgram_similarity,
+        "close_term_pairs": q_close_term_pairs,
+        "close_pairs_begin_end": q_close_pairs_begin_end,
+        "word_cooccurrence": q_word_cooccurrence,
+        "spelling_changes": q_spelling_changes,
+        "bpe_merges": q_bpe_merges,
+        "vocabulary": q_vocabulary,
+        "spelling_links": q_spelling_links,
+        "regex_entities": q_regex_entities,
+        "patterns_in_context": q_patterns_in_context,
+        "ann_cosine_top10": q_ann_cosine_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_centroid_top5": q_ann_centroid_top5,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_running_value": q_events_running_value,
     }
 
 
@@ -2140,8 +2150,15 @@ def oracle_sql() -> dict[str, str]:
               FROM body, cb
             )
         """.format(cb_lit=_cb_lit)
-        pq_codes_sql = _pq_code_core + \
-            " SELECT vec_id, codes FROM coded ORDER BY vec_id"
+        # array_to_string on an empty list is NULL in DuckDB where Spark's
+        # concat_ws gives '' — coalesce per the CLAUDE.md empty-list trap
+        # (codes is always length m=8, but keep the guard uniform).
+        pq_codes_sql = _pq_code_core + """
+            SELECT vec_id,
+                   coalesce(array_to_string(
+                     list_transform(codes, c -> CAST(c AS VARCHAR)), ','),
+                     '') AS codes_joined
+            FROM coded ORDER BY vec_id"""
         _q3 = next([float(x) for x in v]
                    for i, v in zip(_ids3, _vecs3) if i == 0)
         _lut3 = [[round(sum((_q3[s * 8 + j] - cw[j]) ** 2
