@@ -2084,11 +2084,18 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (
               SELECT b.vec_id, b.e, a.cid
               FROM body b JOIN assigned a USING (vec_id)
+            ), ok AS (
+              -- oversized-cluster cap mirror (no-op on these fixtures)
+              SELECT cid FROM assigned GROUP BY cid
+              HAVING count(*) <= 100000
             ), wit AS (
               SELECT a.vec_id, min(b.vec_id) AS dup_of
-              FROM m a JOIN m b
-                ON a.cid = b.cid AND a.vec_id > b.vec_id
+              FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id > b.vec_id
+                   JOIN ok ON ok.cid = a.cid
               WHERE list_cosine_similarity(a.e, b.e) >= 0.40
+                -- zero-norm guard: undefined cosine is never a duplicate
+                AND list_sum(list_transform(a.e, x -> x * x)) > 0
+                AND list_sum(list_transform(b.e, x -> x * x)) > 0
               GROUP BY 1
             )
             SELECT m.vec_id, m.cid, w.dup_of IS NULL AS keep,

@@ -288,7 +288,8 @@ def ivf_topk(df: DataFrame, query: Sequence[float], k: int = 10,
 def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
                    threshold: float = 0.40, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: List[List[float]] = None) -> DataFrame:
+                   centroids: List[List[float]] = None,
+                   max_cluster_size: int = 100_000) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning over an embedding
     column (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication" — the public recipe:
@@ -311,9 +312,25 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
     total, embarrassingly parallel across clusters).  Training is
     :func:`ivf_train` (broadcast k x dim per iteration, only k x dim
     floats ever reach the driver); assignment is a broadcast
-    nested-loop min — no full-table collect anywhere.  For skewed
-    clusters apply the same oversized-bucket audit as the LSH dedup
-    path before the join.  Cross-engine determinism inherits the IVF
+    nested-loop min — no full-table collect anywhere.
+
+    ``max_cluster_size`` caps degenerate clusters (boilerplate mass or
+    a near-zero-vector blob collapsing onto one centroid): at 100-TB
+    scale one such cluster makes a single ``cid`` shuffle key emit
+    O(n^2) pairs.  The cap is enforced BEFORE the pair join — a
+    constant-buffer count aggregation sizes every cluster, and only
+    rows in surviving clusters enter the self-join (the exact pattern
+    of the LSH path's ``max_bucket_size``, dedup.py).  Rows in dropped
+    clusters come back ``keep=true, dup_of=null`` — at that size the
+    members are template mass that exact/minhash dedup handles
+    directly; use :func:`oversized_semantic_clusters` to audit what the
+    cap excluded.
+
+    Zero-norm guard: a zero vector has undefined cosine (0/0 = NaN,
+    which both engines order ABOVE every number, so ``>= threshold``
+    would be vacuously true); pairs where either side has zero norm are
+    excluded, i.e. degenerate vectors are never each other's
+    duplicates.  Cross-engine determinism inherits the IVF
     contract: 6-decimal centroid rounding, 9-decimal assignment
     distances; the cosine threshold compares the raw IEEE value (same
     contract as :func:`cosine_pairs` — a pair sitting exactly on the
@@ -332,15 +349,27 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
     base = (df.select(F.col(id_col), vec.alias(vec_col),
                       _norm(vec).alias("_nrm"))
             .join(assigned, id_col))
-    a = base.select(F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"),
-                    F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"),
-                    F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
+    # Cap BEFORE the pair explosion: size every cluster with a
+    # constant-buffer count agg (map-side combine), keep only cids at or
+    # under the cap, and broadcast the surviving <= k-row cid set into
+    # both join branches.  No oversized cluster's rows ever reach the
+    # self-join shuffle.
+    ok_cids = F.broadcast(
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .filter(F.col("_cn") <= F.lit(int(max_cluster_size)))
+        .select("cid"))
+    capped = base.join(ok_cids, "cid")
+    a = capped.select(F.col(id_col).alias("id_a"), F.col("cid").alias("cid_a"),
+                      F.col(vec_col).alias("va"), F.col("_nrm").alias("na"))
+    b = capped.select(F.col(id_col).alias("id_b"), F.col("cid").alias("cid_b"),
+                      F.col(vec_col).alias("vb"), F.col("_nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     witnesses = (
         a.join(b, (F.col("cid_a") == F.col("cid_b"))
                & (F.col("id_a") > F.col("id_b")))
-        .filter(cos >= F.lit(float(threshold)))
+        .filter((cos >= F.lit(float(threshold)))
+                & (F.col("na") > F.lit(0.0)) & (F.col("nb") > F.lit(0.0)))
         .groupBy(F.col("id_a").alias(id_col))
         .agg(F.min("id_b").alias("dup_of"))
     )
@@ -348,6 +377,25 @@ def semantic_dedup(df: DataFrame, n_clusters: int = 8, iters: int = 2,
         base.select(id_col, "cid").join(witnesses, id_col, "left")
         .select(F.col(id_col), F.col("cid"),
                 F.col("dup_of").isNull().alias("keep"), F.col("dup_of"))
+    )
+
+
+def oversized_semantic_clusters(df: DataFrame, n_clusters: int = 8,
+                                iters: int = 2, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                centroids: List[List[float]] = None,
+                                max_cluster_size: int = 100_000) -> DataFrame:
+    """Audit companion to :func:`semantic_dedup`: the (cid, cluster_n)
+    clusters the cap excluded from the pair join — run it to quantify
+    what was dropped (constant-size count buffers only, never id
+    lists; the exact analog of ``oversized_lsh_buckets``)."""
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, iters, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cluster_n"))
+        .filter(F.col("cluster_n") > F.lit(int(max_cluster_size)))
     )
 
 
@@ -384,6 +432,11 @@ def pq_train(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
                   vec.alias("v"))
         .orderBy("_h").limit(k).collect()
     )
+    if len(seeds) < k:
+        # a silent shrink would break downstream k-codeword assumptions
+        # (uint8 code sizing, oracle literal shape) — refuse instead
+        raise ValueError(
+            f"pq_train needs >= k={k} training rows, got {len(seeds)}")
     books = [[[float(x) for x in r["v"][s * dsub:(s + 1) * dsub]]
               for r in seeds] for s in range(m)]
     spark = df.sparkSession
@@ -434,6 +487,9 @@ def pq_train_local(ids, vectors, m: int = 8, k: int = 16,
     dim = len(vectors[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if len(ids) < k:
+        raise ValueError(
+            f"pq_train needs >= k={k} training rows, got {len(ids)}")
     dsub = dim // m
     order = sorted(range(len(ids)),
                    key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())

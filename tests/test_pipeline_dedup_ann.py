@@ -642,6 +642,78 @@ def test_semantic_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan     # the k-row centroid join
 
 
+def test_semantic_dedup_oversized_cluster_cap(spark):
+    """A degenerate cluster above max_cluster_size never enters the pair
+    join: its rows all come back keep=true, the audit names the cid, and
+    clusters under the cap still dedup normally."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import (
+        oversized_semantic_clusters, semantic_dedup)
+
+    rng = np.random.default_rng(7)
+    blob = rng.standard_normal(16).round(4)          # 30-row template mass
+    other = -blob                                    # 4-row normal cluster
+    rows = [(i, [float(x) for x in blob]) for i in range(30)]
+    rows += [(100 + i, [float(x) for x in other]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = {r.vec_id: r for r in
+                semantic_dedup(df, n_clusters=2, iters=2,
+                               threshold=0.9).collect()}
+    assert sum(not r.keep for r in uncapped.values()) == 29 + 3
+
+    capped = {r.vec_id: r for r in
+              semantic_dedup(df, n_clusters=2, iters=2, threshold=0.9,
+                             max_cluster_size=10).collect()}
+    assert set(capped) == set(uncapped)              # total either way
+    big_cid = capped[0].cid
+    # the 30-row cluster was excluded from the pair join entirely
+    assert all(capped[i].keep and capped[i].dup_of is None
+               for i in range(30))
+    # the 4-row cluster (under the cap) still dedups greedily by id
+    assert capped[100].keep
+    assert all(capped[100 + i].dup_of == 100 for i in range(1, 4))
+
+    audit = oversized_semantic_clusters(df, n_clusters=2, iters=2,
+                                        max_cluster_size=10).collect()
+    assert [(r.cid, r.cluster_n) for r in audit] == [(big_cid, 30)]
+
+
+def test_semantic_dedup_zero_norm_guard(spark):
+    """Zero vectors have undefined cosine (NaN orders above every number
+    in Spark and DuckDB, so an unguarded >= threshold is vacuously
+    true): they must never be flagged as anyone's duplicate."""
+    from fuzzy_search_spark.pipeline.ann import semantic_dedup
+
+    rows = [(0, [0.0] * 8), (1, [0.0] * 8),          # two degenerate rows
+            (2, [1.0] * 8), (3, [1.0] * 8)]          # one real dup pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, n_clusters=1, iters=1,
+                          threshold=0.9).collect()}
+    assert out[0].keep and out[0].dup_of is None
+    assert out[1].keep and out[1].dup_of is None
+    assert out[2].keep
+    assert not out[3].keep and out[3].dup_of == 2
+
+
+def test_pq_train_rejects_fewer_rows_than_k(spark):
+    """Fewer training rows than k must raise, not silently shrink the
+    codebooks (uint8 code sizing and oracle literal shape assume k)."""
+    import pytest as _pytest
+
+    from fuzzy_search_spark.pipeline.ann import pq_train, pq_train_local
+
+    rows = [(i, [float(i)] * 16) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="training rows"):
+        pq_train(df, m=2, k=8, iters=1, dim=16)
+    with _pytest.raises(ValueError, match="training rows"):
+        pq_train_local([r[0] for r in rows], [r[1] for r in rows],
+                       m=2, k=8, iters=1)
+
+
 def test_pq_trainer_local_matches_distributed(spark):
     """pq_train and pq_train_local produce bit-identical codebooks on
     the same rows (the contract the oracle literals depend on)."""
