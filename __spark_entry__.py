@@ -1323,7 +1323,10 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fuzzy_search_spark.pipeline.ann import pq_encode
 
     emb, books = _pq_books(spark, sf_dir)
-    return pq_encode(emb, books).orderBy("vec_id").select(
+    # arrow engine: the encode is the full corpus pass at scale, and the
+    # JVM expression tree runs interpreted (CodegenFallback) — the numpy
+    # path is A/B-pinned bit-identical (test_pq_engines_agree)
+    return pq_encode(emb, books, engine="arrow").orderBy("vec_id").select(
         "vec_id",
         F.concat_ws(",", F.col("codes").cast("array<string>"))
         .alias("codes_joined"))
@@ -1339,7 +1342,8 @@ def q_ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, books = _pq_books(spark, sf_dir)
     query = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     return pq_topk(emb.filter(F.col("vec_id") != 0),
-                   [float(x) for x in query], books, k=10)
+                   [float(x) for x in query], books, k=10,
+                   engine="arrow")
 
 
 def q_ann_centroid_top5(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -534,22 +534,86 @@ def _pq_code_expr(vec, books, dsub: int):
 
 def pq_encode(df: DataFrame, books: List[List[List[float]]],
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              engine: str = "jvm") -> DataFrame:
     """(id, codes array<int>): each vector as ``m`` codebook indices —
     the 32x-compressed representation an IVF-PQ index stores.  Pure
     projection (codebooks are expression literals): fuses into the
     scan, zero shuffle, and the integer codes are exactly
-    hash-comparable cross-engine (no float output at all)."""
+    hash-comparable cross-engine (no float output at all).
+
+    ``engine="jvm"`` is the pure-column-algebra path the oracle mirrors,
+    but the m x k distance tree is a higher-order-function expression
+    Spark evaluates interpreted (CodegenFallback, ~ms/row).
+    ``engine="arrow"`` is the scale path — at 100 TB the encode is the
+    FULL corpus pass, so it gets the same treatment as
+    ``quantize_embeddings_int8``: a vectorized numpy mapInPandas whose
+    distances use the same elementwise ops, left-to-right accumulation
+    (cumsum) and half-away rounding, so the integer codes are
+    bit-identical to the JVM path (pinned by an A/B test)."""
     dsub = len(books[0][0])
+    if engine == "arrow":
+        return _pq_encode_arrow(df, books, dsub, id_col, vec_col)
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r}")
     vec = F.col(vec_col).cast("array<double>")
     return df.select(F.col(id_col),
                      _pq_code_expr(vec, books, dsub).alias("codes"))
 
 
+def _np_round_half_away(x, digits: int):
+    """Half-away-from-zero decimal rounding on float64 — Spark's
+    ROUND/HALF_UP semantics, not numpy's banker's rounding."""
+    import numpy as np
+
+    p = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def _pq_codes_np(vecs, books, dsub: int):
+    """Vectorized mirror of :func:`_pq_code_expr`: per subspace, squared
+    distances accumulate LEFT-TO-RIGHT (cumsum — numpy's ``sum`` is
+    pairwise and would drift in the last ulps from the JVM fold), round
+    half-away to 9, argmin takes the FIRST minimum (ties to the smaller
+    code, the trainer's rule)."""
+    import numpy as np
+
+    m = len(books)
+    codes = np.empty((vecs.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sv = vecs[:, s * dsub:(s + 1) * dsub]
+        cw = np.asarray(books[s], dtype=np.float64)
+        diff = sv[:, None, :] - cw[None, :, :]
+        d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+        codes[:, s] = _np_round_half_away(d2, 9).argmin(axis=1)
+    return codes
+
+
+def _pq_encode_arrow(df: DataFrame, books, dsub: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def process(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "_id": pdf[id_col],
+                "codes": list(_pq_codes_np(vecs, books, dsub)),
+            })
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(process, "_id long, codes array<int>")
+            .withColumnRenamed("_id", id_col))
+
+
 def pq_topk(df: DataFrame, query: Sequence[float],
             books: List[List[List[float]]], k: int = 10,
             id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            engine: str = "jvm") -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k: the query builds an
     m x k lookup table of subspace squared distances driver-side, and
     every row's approximate distance is ``sum_s lut[s][codes[s]]`` — a
@@ -561,12 +625,21 @@ def pq_topk(df: DataFrame, query: Sequence[float],
 
     Determinism: lut entries round to 9 (same rule as every distance in
     the IVF/PQ family), the m-term sum folds left-to-right, the final
-    distance rounds to 9, ties rank by id."""
+    distance rounds to 9, ties rank by id.
+
+    ``engine`` as in :func:`pq_encode` — "arrow" runs the row-side
+    encode + lut sum as a vectorized numpy mapInPandas with the same
+    fold order and rounding (A/B-pinned bit equality); the top-k sort
+    stays in the JVM either way."""
     m, dsub = len(books), len(books[0][0])
     q = [float(x) for x in query]
     lut = [[round(sum((q[s * dsub + j] - cw[j]) ** 2
                       for j in range(dsub)), 9)
             for cw in books[s]] for s in range(m)]
+    if engine == "arrow":
+        return _pq_topk_arrow(df, lut, books, dsub, k, id_col, vec_col)
+    if engine != "jvm":
+        raise ValueError(f"unknown engine {engine!r}")
     vec = F.col(vec_col).cast("array<double>")
     codes = _pq_code_expr(vec, books, dsub)
     luts = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
@@ -577,6 +650,30 @@ def pq_topk(df: DataFrame, query: Sequence[float],
             F.lit(0.0), lambda acc, v: acc + v), 9)
     return (df.select(F.col(id_col), dist.alias("adc_d2"))
             .orderBy("adc_d2", id_col).limit(k))
+
+
+def _pq_topk_arrow(df: DataFrame, lut, books, dsub: int, k: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    lut_np = np.asarray(lut, dtype=np.float64)       # (m, k_codewords)
+    m = lut_np.shape[0]
+
+    def process(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = _pq_codes_np(vecs, books, dsub)
+            terms = lut_np[np.arange(m)[None, :], codes]     # (n, m)
+            adc = _np_round_half_away(np.cumsum(terms, axis=1)[:, -1], 9)
+            yield pd.DataFrame({"_id": pdf[id_col], "adc_d2": adc})
+
+    out = (df.select(id_col, vec_col)
+           .mapInPandas(process, "_id long, adc_d2 double")
+           .withColumnRenamed("_id", id_col))
+    return out.orderBy("adc_d2", id_col).limit(k)
 
 
 def quantize_embeddings_int8(df: DataFrame, id_col: str = "vec_id",

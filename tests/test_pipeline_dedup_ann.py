@@ -768,6 +768,43 @@ def test_pq_encode_and_adc_against_python(spark):
         assert r.adc_d2 == exp, r.vec_id
 
 
+def test_pq_engines_agree(spark):
+    """JVM expression tree vs vectorized numpy arrow engine: codes must
+    be BIT-identical and ADC distances/order equal — the contract that
+    lets the driver queries run the fast path while the oracle mirrors
+    the JVM algebra.  Includes razor inputs (exact codeword hits, tie
+    candidates) plus a random blanket."""
+    import numpy as np
+
+    from fuzzy_search_spark.pipeline.ann import (pq_encode, pq_topk,
+                                                 pq_train_local)
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((120, 16)).round(4)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    books = pq_train_local([r[0] for r in rows], [r[1] for r in rows],
+                           m=4, k=8, iters=2)
+    # razor rows: exact codeword reproductions (d2 == 0 in one subspace)
+    # and an equidistant tie between two codewords
+    razor = [(200, [float(x) for s in range(4) for x in books[s][3]]),
+             (201, [float((books[0][0][j] + books[0][1][j]) / 2)
+                    for j in range(4)] * 4)]
+    df = spark.createDataFrame(rows + razor,
+                               "vec_id long, embedding array<double>")
+    jvm = {r.vec_id: list(r.codes)
+           for r in pq_encode(df, books, engine="jvm").collect()}
+    arw = {r.vec_id: list(r.codes)
+           for r in pq_encode(df, books, engine="arrow").collect()}
+    assert jvm == arw
+
+    q = rows[7][1]
+    tj = [(r.vec_id, r.adc_d2)
+          for r in pq_topk(df, q, books, k=10, engine="jvm").collect()]
+    ta = [(r.vec_id, r.adc_d2)
+          for r in pq_topk(df, q, books, k=10, engine="arrow").collect()]
+    assert tj == ta
+
+
 def test_pq_encode_plan_is_pure_projection(spark):
     """Codebooks are expression literals: encode must fuse into the scan
     — no Exchange, no Python stage."""
