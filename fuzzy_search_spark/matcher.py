@@ -211,7 +211,13 @@ def _sweep_candidates(cp: CompiledPhrase, grams, text: str,
     # stream's global distinct count, so if even that upper bound is
     # below the threshold no emit is possible and the sweep is a no-op.
     # (Same float expression as the emit check, so no boundary drift.)
-    if len(set(gk)) / len(cp.gram_set) < skipgram_threshold:
+    # Two tiers: len(gk) >= len(set(gk)), so the raw length is an even
+    # cheaper upper bound — only when it is inconclusive (passes) do we
+    # pay the O(n) set build, keeping dense-match docs near-free.
+    if len(gk) / len(cp.gram_set) < skipgram_threshold:
+        return []
+    if len(gk) > len(cp.gram_set) \
+            and len(set(gk)) / len(cp.gram_set) < skipgram_threshold:
         return []
     candidates: List[_Candidate] = []
     early = cp.early
