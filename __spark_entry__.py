@@ -677,14 +677,27 @@ def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE encode with the corpus-trained merge list (same
     bounded-histogram training as bpe_merges): per-doc subword counts and
-    fertility.  Non-SQL-expressible (greedy rank-order merging) ->
-    rows-only driver check; differential unit test vs pure Python."""
+    integer micro-unit fertility (exact ``div``, never a float round — the
+    b/w ratio CAN land on exact decimal midpoints, e.g. 128-word docs,
+    where Python's half-even and DuckDB's half-away disagree).
+
+    Oracled by the literal-constants pattern (the IVF/PQ precedent): the
+    merge table retrains driver-side bit-identically and is embedded as
+    nested ``list_reduce`` merge applications; oracle_sql() verifies
+    driver-side that sequential-by-rank application equals the engine's
+    rank-order greedy encode on every corpus word type before emitting
+    the oracle (falls back to rows-only when the corpus violates it)."""
     from fuzzy_search_spark.analysis.subtoken import (bpe_from_corpus,
                                                       bpe_token_counts)
 
     docs = _docs(spark, sf_dir)
     _, merges = bpe_from_corpus(docs, k=30, max_types=BPE_MAX_TYPES)
-    return bpe_token_counts(docs, merges).orderBy("doc_id")
+    counts = bpe_token_counts(docs, merges)
+    return (counts.select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        F.coalesce(F.expr("n_bpe_tokens * 1000000L div n_words"),
+                   F.lit(0)).cast("long").alias("fertility_micro"))
+        .orderBy("doc_id"))
 
 
 #: corpus-mixing fixtures: weights chosen so the normalized shares are
@@ -2188,6 +2201,109 @@ def oracle_sql() -> dict[str, str]:
         """.format(lut_lit=_lut_lit)
     except Exception:  # embeddings table absent: skip these oracle entries
         pq_codes_sql = ann_pq_sql = None
+
+    # bpe_token_counts: the literal-constants pattern once more — the merge
+    # table retrains driver-side (bit-identical histogram + train_bpe) and
+    # the encode re-derives in SQL as 30 nested single-merge applications,
+    # each a list_reduce whose accumulator merges (a, b) -> a||b greedily
+    # left-to-right (the merged symbol can never equal `a` again within
+    # the pass, so the reduce IS the scan).  Sequential-by-rank application
+    # equals the engine's rank-order greedy encode only when no later merge
+    # recreates an earlier merge's component string; instead of assuming
+    # that property we VERIFY both encoders agree on every corpus word type
+    # driver-side — and that DuckDB's ASCII `\s` split matches Python's
+    # .split() on every document — and emit the oracle only then.
+    bpe_counts_sql = None
+    try:
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        from fuzzy_search_spark.analysis.subtoken import (encode_bpe,
+                                                          train_bpe)
+
+        _sfdir4 = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                 "/root/testdata/sf0.01")
+        _txt4 = pq.read_table(f"{_sfdir4}/documents.parquet",
+                              columns=["text"]).column("text").to_pylist()
+        # histogram mirror of bpe_from_corpus: Java-\s+ ASCII class + lower
+        # + (freq desc, token) order + type cap
+        _java_ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")
+        _re2_ws = _re.compile(r"[ \t\n\f\r]+")  # RE2 \s: NO \x0b
+        _hist4: dict = {}
+        for _s4 in _txt4:
+            _lo = (_s4 or "").lower()
+            if [w for w in _re2_ws.split(_lo) if w] != _lo.split():
+                raise ValueError("corpus whitespace defeats the SQL split")
+            for _w4 in _java_ws.split(_lo):
+                if _w4:
+                    _hist4[_w4] = _hist4.get(_w4, 0) + 1
+        _hist4 = dict(sorted(_hist4.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_TYPES])
+        _, _merges4 = train_bpe(_hist4, 30)
+        _rank4 = {p: i for i, p in enumerate(_merges4)}
+
+        def _apply_seq(syms, a, b):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        for _w4 in {w for s in _txt4 for w in (s or "").lower().split()}:
+            _seq = list(_w4) + [" "]
+            for _a4, _b4 in _merges4:
+                _seq = _apply_seq(_seq, _a4, _b4)
+            if _seq != encode_bpe(_w4, _merges4, _rank=_rank4):
+                raise ValueError("sequential != rank-order on this corpus")
+
+        def _lit4(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        _enc4 = ("list_append(list_transform(range(1, length(w) + 1), "
+                 "i -> substr(w, i, 1)), ' ')")
+        for _a4, _b4 in _merges4:
+            _enc4 = (
+                "list_reduce(list_transform({prev}, s -> [s]), "
+                "(acc, x) -> CASE WHEN acc[-1] = {a} AND x[1] = {b} "
+                "THEN list_append(acc[1:-2], {ab}) "
+                "ELSE list_concat(acc, x) END)"
+            ).format(prev=_enc4, a=_lit4(_a4), b=_lit4(_b4),
+                     ab=_lit4(_a4 + _b4))
+        bpe_counts_sql = f"""
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+'))
+                         AS w
+                FROM documents)
+              WHERE w <> ''
+            ), enc AS (
+              SELECT w, len({_enc4}) AS n_syms
+              FROM (SELECT DISTINCT w FROM words)
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) AS n_words,
+                     sum(n_syms) AS n_bpe
+              FROM words JOIN enc USING (w)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_words, 0) AS INTEGER) AS n_words,
+                   CAST(coalesce(a.n_bpe, 0) AS INTEGER) AS n_bpe_tokens,
+                   CAST(CASE WHEN coalesce(a.n_words, 0) = 0 THEN 0
+                        ELSE (CAST(a.n_bpe AS BIGINT) * 1000000)
+                             // CAST(a.n_words AS BIGINT) END AS BIGINT)
+                     AS fertility_micro
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """
+    except Exception:  # corpus defeats the SQL mirror: stay rows-only
+        bpe_counts_sql = None
 
     simhash_bits = 60
     simhash_votes = ", ".join(
@@ -4018,6 +4134,8 @@ def oracle_sql() -> dict[str, str]:
     if pq_codes_sql:
         d["pq_codes"] = pq_codes_sql
         d["ann_pq_top10"] = ann_pq_sql
+    if bpe_counts_sql:
+        d["bpe_token_counts"] = bpe_counts_sql
     # perplexity_tiers composes the lm_doc_scores and language_id oracles
     # verbatim as CTE subqueries (DuckDB allows a WITH inside a
     # parenthesized CTE body), then ranks on the exact integer micro-unit
