@@ -314,11 +314,16 @@ _MAX_PARTIAL_START_OFFSET = 5
 
 def _build_chain_fanout(tm: TokenModel) -> dict:
     """ptoken -> tuple of (phrase_id, phrase, start_ok, len(phrase.name),
-    missing_after_seed, phrase_name) rows.  phrase_id indexes a plain
-    list of open buckets (array indexing instead of per-visit dict
-    hashing); missing_after_seed is the phrase's missing template minus
-    the seeding ptoken's first occurrence, shared across every fresh
-    partial this row creates (see _PartialPhrase.fresh)."""
+    missing_after_seed, phrase_name, missing_after_set) rows.  phrase_id
+    indexes a plain list of open buckets (array indexing instead of
+    per-visit dict hashing); missing_after_seed is the phrase's missing
+    template minus the seeding ptoken's first occurrence, shared across
+    every fresh partial this row creates (see _PartialPhrase.fresh);
+    missing_after_set is its frozenset twin for the dead-on-arrival
+    window disjointness test (O(min) set op instead of list iteration,
+    millions of evaluations per long document); the trailing
+    (name_len - mlv, name_len + mlv) bounds replace a per-visit
+    ``abs()`` call with two compares in the hottest branch."""
     pid_of = {pn: i for i, pn in enumerate(tm.phrases)}
     fanout = {}
     for tok_n, names in tm.token_in_phrase.items():
@@ -327,11 +332,15 @@ def _build_chain_fanout(tm: TokenModel) -> dict:
             tp = tm.phrases[pn]
             missing_after = list(tp.missing_template)
             missing_after.remove(tok_n)
+            nl = len(tp.name)
             rows.append(
                 (pid_of[pn], tp,
                  tm.min_token_offset[(tok_n, pn)]
                  < _MAX_PARTIAL_START_OFFSET,
-                 len(tp.name), missing_after, pn))
+                 nl, missing_after, pn,
+                 frozenset(missing_after),
+                 nl - tm.max_length_variance,
+                 nl + tm.max_length_variance))
         fanout[tok_n] = tuple(rows)
     return fanout
 
@@ -828,7 +837,24 @@ def _chain_partial_phrases(token_matches: List[TokenMatch],
       clause), and — being incomplete — it cannot flip that filter's
       ``has_complete`` bit, so the surviving candidate list (content
       AND order) is identical.  Retired partials are final (nothing
-      extends them later), so the test is stable at drop time."""
+      extends them later), so the test is stable at drop time.
+    * round 5 extends that argument BACKWARD to creation time: a
+      partial that is (a) incomplete, (b) outside ``max_length_variance``
+      and (c) has NO token match anywhere in the stream for any of its
+      missing ptokens within ``(text_end, text_end + max_char_gap]`` is
+      dead on arrival — (c) means it can never be extended (every
+      extend requires exactly such a match), so (a)/(b) are final and
+      the eviction/flush drop above is already its certain fate.  It
+      never enters ``candidates``, never sets ``has_complete``, never
+      changes any other partial's flow (the ``added`` flag is preserved
+      when a dead COPY is suppressed), so skipping its creation leaves
+      the candidate dict bit-identical while the per-visit bucket scans
+      stop paying for it — the dominant cost at 10^3+ phrase models,
+      where ~half of all creations are dead on arrival (measured).
+      The window test is O(1) amortized: one sorted pass over match
+      starts up front, a per-``text_end`` ptoken-set cache."""
+    from bisect import bisect_right
+
     max_char_gap = tm.max_char_gap
     max_length_variance = tm.max_length_variance
     fanout = tm.chain_fanout
@@ -838,19 +864,58 @@ def _chain_partial_phrases(token_matches: List[TokenMatch],
     candidates: Dict[str, List[_PartialPhrase]] = {}
     empty = ()
     fresh_partial = _PartialPhrase.fresh
+
+    # dead-on-arrival test support: every possible future extension of a
+    # partial ending at `pe` is a token match with text_start in
+    # (pe, pe + max_char_gap] — collect match starts once, serve the
+    # window's ptoken set per distinct pe from a cache.  NOTE: the test
+    # must stay exactly "not extendable" — pruning a partial that could
+    # still be EXTENDED is unsound even when it provably never reaches
+    # ``candidates``, because its extends set the ``added`` flag, which
+    # suppresses fresh creations (observed divergence when a stronger
+    # completability/length-band prune was tried in round 5).
+    order = sorted(range(len(token_matches)),
+                   key=lambda i: token_matches[i].text_start)
+    _pos = [token_matches[i].text_start for i in order]
+    _ptok = [token_matches[i].ptoken for i in order]
+    _win_cache: Dict[int, frozenset] = {}
+
+    def _window_set(pe: int) -> frozenset:
+        s = _win_cache.get(pe)
+        if s is None:
+            lo = bisect_right(_pos, pe)
+            hi = bisect_right(_pos, pe + max_char_gap)
+            s = frozenset(_ptok[lo:hi])
+            _win_cache[pe] = s
+        return s
+
     for tmch in token_matches:
         ts = tmch.text_start
+        te = tmch.text_end
+        tlen = te - ts
         ptoken = tmch.ptoken
-        for pid, phrase, start_ok, name_len, miss_after, phrase_name in \
-                fanout.get(ptoken, empty):
-            bucket = buckets[pid]
+        window = None               # _window_set(te), computed on demand
+        for row in fanout.get(ptoken, empty):
+            bucket = buckets[row[0]]
             if bucket is None:
-                if start_ok:
-                    buckets[pid] = [fresh_partial(phrase, tmch, miss_after)]
+                # dominant visit class on long docs — indexed access, no
+                # 9-way unpack, bounds compares instead of abs()
+                if row[2]:                      # start_ok
+                    miss_after = row[4]
+                    if miss_after and not (row[7] <= tlen <= row[8]):
+                        if window is None:
+                            window = _window_set(te)
+                        if window.isdisjoint(row[6]):
+                            continue  # dead on arrival (docstring)
+                    buckets[row[0]] = [fresh_partial(row[1], tmch,
+                                                     miss_after)]
                 continue
+            pid, phrase, start_ok, name_len, miss_after, phrase_name, \
+                miss_set, len_lo, len_hi = row
             added = False
             survivors = None        # lazily forked only on first eviction
             appends = None          # lazily allocated only on first append
+            max_copy_len = name_len + max_length_variance
             for i, partial in enumerate(bucket):
                 pe = partial.text_end
                 if ts - pe > max_char_gap:
@@ -865,25 +930,52 @@ def _chain_partial_phrases(token_matches: List[TokenMatch],
                 if survivors is not None:
                     survivors.append(partial)
                 if pe < ts and ptoken in partial.missing:
+                    # copy length pre-check WITHOUT allocating: the copy's
+                    # text_end is copy_extend's merge decision, its start
+                    # is inherited — ~3/4 of copies fail this check at
+                    # large models (measured), so the allocation + list
+                    # copies are hoisted behind it
+                    prev = partial.token_matches[-1]
+                    if ts == prev.text_start or ts < prev.text_end:
+                        new_end = pe
+                    else:
+                        new_end = te
+                    if new_end - partial.text_start > max_copy_len:
+                        continue
+                    added = True
                     partial_copy = partial.copy_extend(tmch)
-                    if partial_copy.text_length - name_len <= \
-                            max_length_variance:
-                        if appends is None:
-                            appends = [partial_copy]
-                        else:
-                            appends.append(partial_copy)
-                        added = True
+                    if partial_copy.missing and \
+                            name_len - partial_copy.text_length > \
+                            max_length_variance and \
+                            _window_set(partial_copy.text_end) \
+                            .isdisjoint(partial_copy.missing):
+                        continue  # dead on arrival; `added` stands
+                    if appends is None:
+                        appends = [partial_copy]
+                    else:
+                        appends.append(partial_copy)
             if not added and start_ok:
-                fresh = fresh_partial(phrase, tmch, miss_after)
-                if appends is None:
-                    appends = [fresh]
-                else:
-                    appends.append(fresh)
+                dead = False
+                if miss_after and not (len_lo <= tlen <= len_hi):
+                    if window is None:
+                        window = _window_set(te)
+                    dead = window.isdisjoint(miss_set)
+                if not dead:
+                    fresh = fresh_partial(phrase, tmch, miss_after)
+                    if appends is None:
+                        appends = [fresh]
+                    else:
+                        appends.append(fresh)
             live = bucket if survivors is None else survivors
             if appends is not None:
                 live.extend(appends)
             if survivors is not None:
-                buckets[pid] = survivors
+                # an emptied bucket reverts to None: the None branch and
+                # the empty-scan path are behavior-identical (both just
+                # seed when start_ok and alive), and the None check
+                # short-circuits the whole scan setup on every later
+                # visit — the dominant visit class late in long docs
+                buckets[pid] = survivors or None
     for (phrase_name, tp), partials in zip(tm.phrases.items(), buckets):
         if not partials:
             continue
