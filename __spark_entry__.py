@@ -1236,6 +1236,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot OOM the driver, and the rare tail contributes negligibly to
     early merge ranks anyway.  On the test corpora the type count is far
     below the bound, so the merges are byte-identical to the unbounded run.
+
+    Oracled since round 5 by the literal-constants pattern: the merge
+    table retrains driver-side from the raw parquet (pure-Python
+    histogram mirror + the same deterministic trainer) and embeds as
+    VALUES literals — pinning the distributed-histogram half exactly as
+    the IVF centroid literals pin the distributed trainer.
     """
     from fuzzy_search_spark.analysis.subtoken import train_bpe
 
@@ -2224,7 +2230,7 @@ def oracle_sql() -> dict[str, str]:
     # that property we VERIFY both encoders agree on every corpus word type
     # driver-side — and that DuckDB's ASCII `\s` split matches Python's
     # .split() on every document — and emit the oracle only then.
-    bpe_counts_sql = None
+    bpe_counts_sql = bpe_merges_sql = None
     try:
         import re as _re
 
@@ -2275,6 +2281,23 @@ def oracle_sql() -> dict[str, str]:
         def _lit4(s: str) -> str:
             return "'" + s.replace("'", "''") + "'"
 
+        # bpe_merges rides the same retrain: the independent content is
+        # the HISTOGRAM (pure-Python from the raw parquet, Java-\s split
+        # + code-point tie order, vs Spark's distributed groupBy) — the
+        # merge loop itself is the same deterministic pure function, so
+        # this oracle pins the distributed half of the query, like the
+        # IVF centroid literals pin the distributed trainer.
+        _merge_rows = ", ".join(
+            f"({i}, {_lit4(a)}, {_lit4(b)}, {_lit4(a + b)})"
+            for i, (a, b) in enumerate(_merges4))
+        bpe_merges_sql = f"""
+            SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+                   "left", "right", merged
+            FROM (VALUES {_merge_rows})
+                 AS t(merge_rank, "left", "right", merged)
+            ORDER BY merge_rank
+        """
+
         _enc4 = ("list_append(list_transform(range(1, length(w) + 1), "
                  "i -> substr(w, i, 1)), ' ')")
         for _a4, _b4 in _merges4:
@@ -2314,7 +2337,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """
     except Exception:  # corpus defeats the SQL mirror: stay rows-only
-        bpe_counts_sql = None
+        bpe_counts_sql = bpe_merges_sql = None
 
     simhash_bits = 60
     simhash_votes = ", ".join(
@@ -4147,6 +4170,8 @@ def oracle_sql() -> dict[str, str]:
         d["ann_pq_top10"] = ann_pq_sql
     if bpe_counts_sql:
         d["bpe_token_counts"] = bpe_counts_sql
+    if bpe_merges_sql:
+        d["bpe_merges"] = bpe_merges_sql
     # perplexity_tiers composes the lm_doc_scores and language_id oracles
     # verbatim as CTE subqueries (DuckDB allows a WITH inside a
     # parenthesized CTE body), then ranks on the exact integer micro-unit
