@@ -223,6 +223,21 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level quality gate over the Gopher per-document filter
+    (CCNet/RefinedWeb-style): per-host doc + kept counts and an
+    integer-exact keep-rate flag (kept*2 >= docs), joined back per
+    document.  Hosts parse from the deterministic page URLs."""
+    from fuzzy_search_spark.pipeline.textstats import (gopher_quality,
+                                                       host_quality_rollup)
+
+    gq = gopher_quality(_docs(spark, sf_dir)).select("doc_id", "keep")
+    host = F.lower(F.regexp_extract(
+        _page_url(F.col("doc_id")), r"^https?://([^/:]+)", 1))
+    return (host_quality_rollup(gq.withColumn("host", host))
+            .orderBy("doc_id"))
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning heuristics (Raffel et al. 2020 section 2.2):
     line-level terminal-punctuation / 5-word / javascript gates + the
@@ -1517,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (A) never driver-checked (r4 verdict item 2) ------------------
         "cross_doc_spans": q_cross_doc_spans,
         "strip_cross_doc_spans": q_strip_cross_doc_spans,
+        # -- (A2) new in round 5: must be inside the driver's first-50 ----
+        "host_quality_rollup": q_host_quality_rollup,
         # -- (B) last driver-checked in r3, ascending cost -----------------
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "normalize_nfc": q_normalize_nfc,
@@ -4172,6 +4189,32 @@ def oracle_sql() -> dict[str, str]:
         d["bpe_token_counts"] = bpe_counts_sql
     if bpe_merges_sql:
         d["bpe_merges"] = bpe_merges_sql
+    # host_quality_rollup composes the gopher_quality oracle verbatim as
+    # a CTE (the perplexity_tiers pattern); the rate test is the same
+    # integer cross-multiplication as the Spark side — no float rates.
+    d["host_quality_rollup"] = f"""
+        WITH gq AS ({d["gopher_quality"]}),
+        tagged AS (
+          SELECT doc_id, keep,
+                 lower(regexp_extract(
+                   'https://host' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.com/p/' || CAST(doc_id AS VARCHAR),
+                   '^https?://([^/:]+)', 1)) AS host
+          FROM gq
+        ), stats AS (
+          SELECT host,
+                 COUNT(*) AS host_docs,
+                 SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS host_kept
+          FROM tagged GROUP BY host
+        )
+        SELECT t.doc_id, t.host,
+               CAST(s.host_docs AS BIGINT) AS host_docs,
+               CAST(s.host_kept AS BIGINT) AS host_kept,
+               (s.host_docs >= 1 AND s.host_kept * 2 >= s.host_docs * 1)
+                 AS host_keep
+        FROM tagged t JOIN stats s USING (host)
+        ORDER BY t.doc_id
+    """
     # perplexity_tiers composes the lm_doc_scores and language_id oracles
     # verbatim as CTE subqueries (DuckDB allows a WITH inside a
     # parenthesized CTE body), then ranks on the exact integer micro-unit

@@ -783,3 +783,41 @@ def corpus_profile(df: DataFrame, id_col: str = "doc_id",
         "total_chars", "n_langs", "top_lang",
         F.round(F.col("top_lang_docs") / F.col("docs"), 6)
         .alias("top_lang_share"))
+
+
+def host_quality_rollup(df: DataFrame, host_col: str = "host",
+                        keep_col: str = "keep", id_col: str = "doc_id",
+                        min_host_docs: int = 1,
+                        keep_rate_num: int = 1,
+                        keep_rate_den: int = 2) -> DataFrame:
+    """Site-level quality gate (the CCNet/RefinedWeb-style aggregation
+    step applied after a per-document filter such as
+    :func:`gopher_quality`): per-host document and kept-document counts,
+    and a ``host_keep`` flag set when the host has at least
+    ``min_host_docs`` documents AND its keep rate reaches
+    ``keep_rate_num / keep_rate_den`` — joined back onto every document.
+    Spam/boilerplate farms fail per-document filters in bulk, so the
+    host-level rate is the cheap signal that drops the whole site.
+
+    The rate test is the integer cross-multiplication
+    ``host_kept * den >= host_docs * num`` — no float rate ever exists,
+    so the result is exactly hash-comparable cross-engine.
+
+    Scale shape: one hash aggregation keyed by host (hosts << documents,
+    near-uniform across the web) and a join back on the same key whose
+    build side is one row per host — broadcast-eligible at any corpus
+    size where the host set fits an executor (10^8 hosts x ~40 bytes is
+    the realistic web upper bound; beyond that AQE falls back to a
+    sort-merge join on an unskewed key).  No window functions.
+    """
+    stats = (df.groupBy(host_col)
+             .agg(F.count(F.lit(1)).alias("host_docs"),
+                  F.sum(F.col(keep_col).cast("long")).alias("host_kept")))
+    flag = ((F.col("host_docs") >= F.lit(int(min_host_docs))) &
+            (F.col("host_kept") * F.lit(int(keep_rate_den)) >=
+             F.col("host_docs") * F.lit(int(keep_rate_num))))
+    return (df.join(stats, host_col)
+            .select(F.col(id_col), F.col(host_col),
+                    F.col("host_docs").cast("long").alias("host_docs"),
+                    F.col("host_kept").cast("long").alias("host_kept"),
+                    flag.alias("host_keep")))

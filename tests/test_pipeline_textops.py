@@ -1185,3 +1185,25 @@ def test_c4_filters_crafted(spark):
     plan = (c4_filters(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_host_quality_rollup(spark):
+    """Integer-exact site-level gate: per-host counts and the
+    cross-multiplied keep-rate flag, joined back per document."""
+    from fuzzy_search_spark.pipeline.textstats import host_quality_rollup
+
+    rows = [(0, "a.com", True), (1, "a.com", True), (2, "a.com", False),
+            (3, "b.com", False), (4, "b.com", False), (5, "b.com", True),
+            (6, "c.com", True)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, keep boolean")
+    got = {r.doc_id: r for r in host_quality_rollup(df).collect()}
+    assert len(got) == 7
+    # a.com: 2/3 kept -> 2*2 >= 3 -> keep; b.com: 1/3 -> 2 < 3 -> drop;
+    # c.com: 1/1 -> keep
+    assert got[0].host_docs == 3 and got[0].host_kept == 2
+    assert got[0].host_keep and got[1].host_keep and not got[3].host_keep
+    assert got[6].host_keep and got[6].host_docs == 1
+    # min_host_docs gate excludes small hosts
+    strict = {r.doc_id: r for r in
+              host_quality_rollup(df, min_host_docs=2).collect()}
+    assert not strict[6].host_keep and strict[0].host_keep
