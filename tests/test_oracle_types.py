@@ -63,3 +63,24 @@ def test_lint_catches_seeded_regression():
     rel = con.sql("SELECT sum(doc_id) AS s, 0.5 * 2 AS d FROM documents")
     types = [str(t).upper() for t in rel.types]
     assert any(any(b in t for b in BANNED) for t in types), types
+
+
+def test_oracle_sql_degrades_without_testdata(monkeypatch):
+    """The literal-constants oracles (IVF/PQ/semantic/BPE) read parquet
+    at generation time; with the tables absent, oracle_sql() must omit
+    those entries (driver then records rows-only) instead of raising."""
+    import importlib.util
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/tmp/nonexistent_sf")
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_degrade_test",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    d = entry.oracle_sql()
+    literal_backed = {"ann_ivf_top10", "semantic_dedup", "pq_codes",
+                      "ann_pq_top10", "bpe_token_counts", "bpe_merges"}
+    assert not literal_backed & set(d)
+    assert len(d) >= 80          # everything else still present
