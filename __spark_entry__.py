@@ -238,6 +238,26 @@ def q_host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+#: deterministic UT1-style blocklist for the admission query: exercises
+#: exact-host, parent-domain-suffix and subdomain-entry matches.
+URL_BLOCKLIST = ["host3.com", "sub1.host5.com", "host7.com"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist admission (UT1/CCNet/FineWeb URL-filter stage):
+    domain-suffix blocking via the explode-suffix-chain hash join (never
+    a LIKE-any nested-loop).  Pages get multi-label hosts
+    sub{d%3}.host{d%10}.com so parent-suffix matching is exercised."""
+    from fuzzy_search_spark.pipeline.urls import blocklist_admission
+
+    doc = F.col("doc_id")
+    url = F.concat(F.lit("https://sub"), (doc % 3).cast("string"),
+                   F.lit(".host"), (doc % 10).cast("string"),
+                   F.lit(".com/p/"), doc.cast("string"))
+    pages = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return blocklist_admission(pages, URL_BLOCKLIST).orderBy("doc_id")
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning heuristics (Raffel et al. 2020 section 2.2):
     line-level terminal-punctuation / 5-word / javascript gates + the
@@ -1534,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_cross_doc_spans": q_strip_cross_doc_spans,
         # -- (A2) new in round 5: must be inside the driver's first-50 ----
         "host_quality_rollup": q_host_quality_rollup,
+        "url_blocklist": q_url_blocklist,
         # -- (B) last driver-checked in r3, ascending cost -----------------
         "strip_dup_paragraphs": q_strip_dup_paragraphs,
         "normalize_nfc": q_normalize_nfc,
@@ -4214,6 +4235,33 @@ def oracle_sql() -> dict[str, str]:
                  AS host_keep
         FROM tagged t JOIN stats s USING (host)
         ORDER BY t.doc_id
+    """
+    # url_blocklist: suffix semantics re-derived as host = domain OR
+    # host LIKE '%.domain' over the literal list — equivalent to the
+    # Spark side's explode-suffix equi-join.
+    _bl = ", ".join("('" + b + "')" for b in URL_BLOCKLIST)
+    d["url_blocklist"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.host'
+                   || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ), th AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+          FROM t
+        ), hit AS (
+          SELECT doc_id, min(domain) AS matched_domain
+          FROM th, (VALUES {_bl}) b(domain)
+          WHERE th.host = b.domain OR th.host LIKE '%.' || b.domain
+          GROUP BY doc_id
+        )
+        SELECT th.doc_id, th.url, th.host, h.matched_domain,
+               h.matched_domain IS NULL AS allowed
+        FROM th LEFT JOIN hit h USING (doc_id)
+        ORDER BY th.doc_id
     """
     # perplexity_tiers composes the lm_doc_scores and language_id oracles
     # verbatim as CTE subqueries (DuckDB allows a WITH inside a

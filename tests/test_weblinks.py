@@ -291,3 +291,23 @@ def test_parse_sitemaps(spark):
     plan = parse_sitemaps(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_blocklist_admission_suffix_semantics(spark):
+    """Domain-suffix blocking: exact host, deep subdomain, and the dot
+    boundary (a host merely ENDING in the domain string stays allowed)."""
+    from fuzzy_search_spark.pipeline.urls import blocklist_admission
+
+    rows = [(0, "https://bad.com/x"),
+            (1, "https://a.b.bad.com/y"),
+            (2, "https://notbad.com/z"),          # no dot boundary
+            (3, "http://good.org/"),
+            (4, "https://sub.tracker.net:8080/p")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in
+           blocklist_admission(df, ["bad.com", "tracker.net"]).collect()}
+    assert not got[0].allowed and got[0].matched_domain == "bad.com"
+    assert not got[1].allowed and got[1].host == "a.b.bad.com"
+    assert got[2].allowed and got[2].matched_domain is None
+    assert got[3].allowed
+    assert not got[4].allowed and got[4].matched_domain == "tracker.net"
